@@ -1,0 +1,59 @@
+"""Golden tests for msmv_sample vs the reference's pure-PyTorch fallback
+semantics (`/root/reference/models/csrc/wrapper.py:15-39`): per-level 3D
+grid_sample with align_corners=True, zeros padding, view axis as depth."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from racformer_tpu.ops import msmv_sample
+
+
+def torch_msmv(mlvl_feats_cf, loc, weights):
+    """mlvl_feats_cf: list of [S, C, N, H, W]; loc [S, Q, P, 3] in [0,1];
+    weights [S, Q, P, L]. Returns [S, Q, P, C]."""
+    S, C = mlvl_feats_cf[0].shape[:2]
+    _, Q, P, _ = loc.shape
+    g = loc * 2 - 1
+    g = g[:, :, :, None, :]  # [S, Q, P, 1, 3]
+    final = torch.zeros(S, C, Q, P)
+    for l, feat in enumerate(mlvl_feats_cf):
+        out = F.grid_sample(
+            feat, g, mode="bilinear", padding_mode="zeros", align_corners=True
+        )[..., 0]
+        final += out * weights[..., l].reshape(S, 1, Q, P)
+    return final.permute(0, 2, 3, 1)
+
+
+def test_msmv_matches_grid_sample(rng):
+    S, N, C, Q, P, L = 2, 6, 8, 5, 7, 4
+    shapes = [(16, 22), (8, 11), (4, 6), (2, 3)]
+    feats_t = [torch.randn(S, C, N, h, w) for h, w in shapes]
+    # loc: view packed as k/(N-1) for exact integer views
+    views = rng.integers(0, N, size=(S, Q, P))
+    loc = np.stack(
+        [
+            rng.uniform(-0.1, 1.1, size=(S, Q, P)),
+            rng.uniform(-0.1, 1.1, size=(S, Q, P)),
+            views / (N - 1),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    w = rng.uniform(size=(S, Q, P, L)).astype(np.float32)
+
+    want = torch_msmv(feats_t, torch.from_numpy(loc), torch.from_numpy(w)).numpy()
+
+    feats_j = [f.permute(0, 2, 3, 4, 1).contiguous().numpy() for f in feats_t]
+    got = np.asarray(msmv_sample(feats_j, loc, w))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_msmv_zero_outside(rng):
+    """Locations far outside [0,1] must sample exactly 0 (zeros padding)."""
+    S, N, C, Q, P = 1, 3, 4, 2, 3
+    feats = [np.ones((S, N, 8, 8, C), np.float32)]
+    loc = np.full((S, Q, P, 3), 5.0, np.float32)
+    loc[..., 2] = 0.0
+    w = np.ones((S, Q, P, 1), np.float32)
+    out = np.asarray(msmv_sample(feats, loc, w))
+    np.testing.assert_allclose(out, 0.0)
