@@ -1,0 +1,154 @@
+"""BEV sampling branches: radial sample-point generation over the temporal BEV
+queue + cross-frame deformable attention.
+
+Matches `BEVSampling` (`/root/reference/models/racformer_transformer.py:429-546`)
+and `BEVSelfAttention` (`/root/reference/models/bev_self_attention.py:115-225`):
+box-anchored 2D offsets, per-frame velocity warp, per-layer shrinking radial
+(theta, d) perturbation, learned positional encoding on the BEV maps, and a
+single-level deformable attention over the num_frames-deep BEV queue with
+learned per-frame queue weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.bbox_codec import theta_d_to_xy, xy_to_theta_d
+from ..ops.deform_attn import deform_attn_single_level
+from ..ops.sampling import make_sample_points
+from .conv_gru import RadarBEVTemporalEncoder
+from .positional import LearnedPositionalEncoding2D
+
+
+def radial_offsets(query_feat, ray_offset_dense, d_region, depth_num):
+    """Per-depth radial perturbations: linspace(-d, d, D) plus a learned
+    sub-bin shift (`racformer_transformer.py:395-396,515-516`). Returns [B, Q, D]."""
+    lin = jnp.linspace(-1.0, 1.0, depth_num) * d_region
+    shift = (nn.sigmoid(ray_offset_dense(query_feat)) * 2.0 - 1.0) * (
+        d_region / depth_num / 2.0
+    )
+    return lin[None, None, :] + shift
+
+
+class BEVCrossFrameAttention(nn.Module):
+    """Deformable attention over the temporal BEV queue with queue weighting."""
+
+    embed_dims: int = 256
+    num_heads: int = 4
+    num_frames: int = 8
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, value, loc, weights, train: bool = False):
+        """query: [B, Q, C]; value: [B, T, H, W, C];
+        loc: [B, Q, M, T, P, 2] in [0, 1]; weights: [B, Q, M, T, P]."""
+        B, T, H, W, C = value.shape
+        Q = query.shape[1]
+        M = self.num_heads
+        c = C // M
+
+        v = nn.Dense(C, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(B * T, H, W, M, c)
+        l = loc.transpose(0, 3, 1, 2, 4, 5).reshape(B * T, Q, M, -1, 2)
+        w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
+
+        out = deform_attn_single_level(v, l, w)  # [B*T, Q, C]
+        out = out.reshape(B, T, Q, C)
+
+        qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
+        qw = jax.nn.softmax(qw, axis=-1)  # [B, Q, T]
+        out = jnp.einsum("btqc,bqt->bqc", out.astype(jnp.float32), qw).astype(self.dtype)
+
+        out = nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out + query
+
+
+class BEVSampling(nn.Module):
+    embed_dims: int = 256
+    num_frames: int = 8
+    num_heads: int = 4
+    num_points: int = 4
+    depth_num: int = 5
+    pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    spatial_shape: tuple = (128, 128)
+    temp_radar: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_ray, query_feat, bev_feats, time_diff, d_region, train: bool = False):
+        """query_ray: [B, Q, 10] polar; query_feat: [B, Q, C];
+        bev_feats: [B, T, H, W, C]; time_diff: [B, T]; d_region: scalar."""
+        if self.temp_radar:
+            bev_feats = RadarBEVTemporalEncoder(
+                self.embed_dims, dtype=self.dtype, name="temporal_encoder"
+            )(bev_feats)
+
+        B, Q, _ = query_ray.shape
+        T, M, P, D = self.num_frames, self.num_heads, self.num_points, self.depth_num
+        H, W = bev_feats.shape[2], bev_feats.shape[3]
+
+        query_bbox = theta_d_to_xy(query_ray)
+
+        # reference init: zero weights, bias ~ U(-0.5, 0.5)
+        # (`racformer_transformer.py:470-473`)
+        off = nn.Dense(
+            D * M * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -0.5, 0.5),
+            dtype=jnp.float32,
+            name="sampling_offset",
+        )(query_feat)
+        off = off.reshape(B, Q, M * P * D, 2)
+        off3 = jnp.concatenate([off, jnp.zeros_like(off[..., :1])], axis=-1)
+        pts = make_sample_points(query_bbox, off3, self.pc_range)  # [B, Q, MPD, 3]
+
+        pts = jnp.broadcast_to(pts[:, :, None], (B, Q, T, M * P * D, 3))
+        vel = jax.lax.stop_gradient(query_ray[..., 8:10])  # [B, Q, 2]
+        dist = vel[:, :, None, :] * time_diff[:, None, :, None]  # [B, Q, T, 2]
+        xy = pts[..., 0:2] - dist[:, :, :, None, :]
+
+        lo = jnp.asarray(self.pc_range[0:2])
+        hi = jnp.asarray(self.pc_range[3:5])
+        xy = (xy - lo) / (hi - lo)
+
+        td = xy_to_theta_d(xy)  # [B, Q, T, MPD, 2]
+        td = td.reshape(B, Q, T, M, P, D, 2)
+        d_off = radial_offsets(
+            query_feat,
+            nn.Dense(D, dtype=jnp.float32, name="ray_points_offset"),
+            d_region,
+            D,
+        )  # [B, Q, D]
+        td = td.at[..., 1].add(d_off[:, :, None, None, None, :])
+        td = td.reshape(B, Q, T, M, P * D, 2)
+        loc = theta_d_to_xy(td)  # normalized [0, 1] BEV coords
+
+        loc = loc.transpose(0, 1, 3, 2, 4, 5)  # [B, Q, M, T, PD, 2]
+
+        w = nn.Dense(M * 1 * D * P, dtype=jnp.float32, name="scale_weights")(query_feat)
+        w = w.reshape(B, Q, M, 1, D * P)
+        w = jax.nn.softmax(w, axis=-1)
+        w = jnp.broadcast_to(w, (B, Q, M, T, D * P))
+
+        pos = LearnedPositionalEncoding2D(
+            self.embed_dims // 2,
+            rows=self.spatial_shape[0],
+            cols=self.spatial_shape[1],
+            dtype=self.dtype,
+            name="positional_encoding",
+        )(H, W)
+        value = bev_feats + pos[None, None]
+
+        return BEVCrossFrameAttention(
+            self.embed_dims,
+            self.num_heads,
+            self.num_frames,
+            dtype=self.dtype,
+            name="attention",
+        )(query_feat, value, loc, w, train=train)

@@ -1,0 +1,203 @@
+"""RaCFormer query decoder: 6 weight-shared iterations as a `lax.scan`.
+
+Matches `RaCFormerTransformerDecoder(Layer)`
+(`/root/reference/models/racformer_transformer.py:61-279`): per iteration —
+polar position encoding, scale-adaptive self-attention, radar-BEV and LSS-BEV
+deformable sampling branches, image radial sampling + adaptive mixing, 3-way
+fusion, FFN, per-iteration cls/reg heads and polar box refinement with the
+per-layer shrinking `d_region` schedule.
+
+The reference shares one layer's weights across all 6 iterations
+(`racformer_transformer.py:84-89`), which maps exactly onto `nn.scan` with
+`variable_broadcast='params'` — one compiled layer body, 6 sequential steps.
+Feature maps are loop invariants (broadcast args); only (query_bbox,
+query_feat) ride the carry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.bbox_codec import inverse_sigmoid, theta_d_to_xy
+from .adaptive_mixing import AdaptiveMixing
+from .bev_sampling import BEVSampling
+from .img_sampling import ImageRadialSampling
+from .layers import FFN
+from .sasa import ScaleAdaptiveSelfAttention
+
+
+class PositionEncoder(nn.Module):
+    """MLP on (theta, d, z): Linear-LN-ReLU x2 (`racformer_transformer.py:170-177`)."""
+
+    embed_dims: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.embed_dims, dtype=self.dtype, name="fc1")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.embed_dims, dtype=self.dtype, name="fc2")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        return nn.relu(x)
+
+
+class Branch(nn.Module):
+    """cls / reg prediction branch (`racformer_transformer.py:199-212`)."""
+
+    out_dim: int
+    with_ln: bool = False
+    num_fcs: int = 2
+    final_bias_init: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(x.shape[-1], dtype=self.dtype, name=f"fc{i}")(x)
+            if self.with_ln:
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(
+            self.out_dim,
+            bias_init=nn.initializers.constant(self.final_bias_init),
+            dtype=self.dtype,
+            name="out",
+        )(x)
+
+
+class RaCFormerDecoderLayer(nn.Module):
+    embed_dims: int = 256
+    num_frames: int = 8
+    num_points: int = 4
+    num_points_bev: int = 4
+    num_levels: int = 4
+    num_classes: int = 10
+    code_size: int = 10
+    img_depth_num: int = 3
+    bev_depth_num: int = 5
+    num_ray: int = 150
+    pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    bev_spatial_shape: tuple = (128, 128)
+    image_hw: tuple = (256, 704)
+    train_mode: bool = False
+    dtype: Any = jnp.float32
+
+    def refine_bbox(self, bbox_proposal, bbox_delta):
+        """Polar residual update (`racformer_transformer.py:230-236`)."""
+        dz = inverse_sigmoid(bbox_proposal[..., 1:3])
+        dz_new = nn.sigmoid(bbox_delta[..., 1:3] + dz)
+        theta = bbox_proposal[..., 0:1] + (
+            nn.sigmoid(bbox_delta[..., 0:1]) * 2.0 - 1.0
+        ) / self.num_ray
+        return jnp.concatenate([theta, dz_new, bbox_delta[..., 3:]], axis=-1)
+
+    @nn.compact
+    def __call__(self, carry, d_region, mlvl_feats, lss_bev, radar_bev,
+                 attn_mask, lidar2img, time_diff):
+        query_bbox, query_feat = carry
+        train = self.train_mode
+
+        query_pos = PositionEncoder(self.embed_dims, dtype=self.dtype, name="position_encoder")(
+            query_bbox[..., :3]
+        )
+        query_feat = query_feat + query_pos
+
+        q = ScaleAdaptiveSelfAttention(
+            self.embed_dims, 8, pc_range=self.pc_range, dtype=self.dtype, name="self_attn"
+        )(query_bbox, query_feat, attn_mask, train=train)
+        query_feat = nn.LayerNorm(dtype=self.dtype, name="norm1")(q)
+
+        q_radar = BEVSampling(
+            self.embed_dims, self.num_frames, 4, self.num_points_bev,
+            self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
+            temp_radar=True, dtype=self.dtype, name="sampling_radar_bev",
+        )(query_bbox, query_feat, radar_bev, time_diff, d_region, train=train)
+        q_radar = nn.LayerNorm(dtype=self.dtype, name="norm_radar_bev")(q_radar)
+
+        q_lss = BEVSampling(
+            self.embed_dims, self.num_frames, 4, self.num_points_bev,
+            self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
+            temp_radar=False, dtype=self.dtype, name="sampling_lss_bev",
+        )(query_bbox, query_feat, lss_bev, time_diff, d_region, train=train)
+        q_lss = nn.LayerNorm(dtype=self.dtype, name="norm_lss_bev")(q_lss)
+
+        sampled = ImageRadialSampling(
+            self.embed_dims, self.num_frames, 4, self.num_points,
+            self.num_levels, self.img_depth_num, self.pc_range,
+            dtype=self.dtype, name="sampling",
+        )(query_bbox, query_feat, mlvl_feats, lidar2img, time_diff,
+          self.image_hw, d_region)
+
+        mixed = AdaptiveMixing(
+            in_points=self.num_points * self.num_frames * self.img_depth_num,
+            out_points=128,
+            n_groups=4,
+            embed_dims=self.embed_dims,
+            dtype=self.dtype,
+            name="mixing",
+        )(sampled, query_feat)
+        query_feat = nn.LayerNorm(dtype=self.dtype, name="norm2")(mixed)
+
+        fused = nn.Dense(self.embed_dims, dtype=self.dtype, name="fusion")(
+            jnp.concatenate([query_feat, q_radar, q_lss], axis=-1)
+        )
+        query_feat = nn.LayerNorm(dtype=self.dtype, name="norm_fusion")(fused)
+
+        query_feat = FFN(512, dtype=self.dtype, name="ffn")(query_feat, train=train)
+        query_feat = nn.LayerNorm(dtype=self.dtype, name="norm3")(query_feat)
+
+        # focal-style prior bias on the cls logits (bias_init_with_prob(0.01))
+        cls_score = Branch(
+            self.num_classes, with_ln=True, final_bias_init=-4.59511985013459,
+            dtype=self.dtype, name="cls_branch",
+        )(query_feat)
+        bbox_delta = Branch(self.code_size, dtype=self.dtype, name="reg_branch")(query_feat)
+        bbox_pred = self.refine_bbox(query_bbox, bbox_delta.astype(jnp.float32))
+
+        # absolute velocity via the first history frame's time delta
+        # (`racformer_transformer.py:264-269`)
+        if self.num_frames > 1:
+            td = jnp.where(jnp.abs(time_diff) < 1e-5, 1.0, time_diff)
+            bbox_pred = jnp.concatenate(
+                [bbox_pred[..., :8], bbox_pred[..., 8:] / td[:, 1:2, None]], axis=-1
+            )
+
+        new_carry = (jax.lax.stop_gradient(bbox_pred), query_feat)
+        return new_carry, (cls_score.astype(jnp.float32), theta_d_to_xy(bbox_pred))
+
+
+class RaCFormerDecoder(nn.Module):
+    num_layers: int = 6
+    d_region_list: Sequence[float] = (0.08, 0.07, 0.06, 0.05, 0.04, 0.03)
+    layer_cfg: Any = None
+    train_mode: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_bbox, query_feat, mlvl_feats, lss_bev, radar_bev,
+                 attn_mask, lidar2img, time_diff):
+        """Returns (cls_scores [Lyr, B, Q, cls], bbox_preds [Lyr, B, Q, 10])."""
+        cfg = dict(self.layer_cfg or {})
+        cfg.setdefault("dtype", self.dtype)
+        cfg["train_mode"] = self.train_mode
+
+        scan = nn.scan(
+            RaCFormerDecoderLayer,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )
+        d_regions = jnp.asarray(self.d_region_list[: self.num_layers], jnp.float32)
+        carry = (query_bbox, query_feat)
+        _, (cls_scores, bbox_preds) = scan(name="layer", **cfg)(
+            carry, d_regions, mlvl_feats, lss_bev, radar_bev, attn_mask,
+            lidar2img, time_diff,
+        )
+        return jnp.nan_to_num(cls_scores), jnp.nan_to_num(bbox_preds)

@@ -1,0 +1,91 @@
+"""Jitted training step with GSPMD data parallelism.
+
+The reference's distributed story is DDP data parallelism over 8 GPUs with
+NCCL gradient all-reduce (`/root/reference/train.py:93,140`; SURVEY.md §2.1).
+Here the equivalent is a `jax.sharding.Mesh` with one `data` axis: the batch
+is sharded, parameters are replicated, and a single `jit` compiles the whole
+step — XLA inserts the gradient all-reduces over ICI. Loss normalizers
+(`reduce_mean`, `racformer_head.py:399-409`) fall out of global sums.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..model.racformer import RaCFormer, preprocess_images
+from .losses import depth_loss, detection_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(model: RaCFormer, tx, depth_cfg=None):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+    depth_cfg = depth_cfg or {}
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dn": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
+        outs, mutated = model.apply(
+            variables,
+            preprocess_images(batch["imgs"]),
+            batch["radar_points"],
+            batch["radar_mask"],
+            batch["radar_depth"],
+            batch["radar_rcs"],
+            batch["lidar2img"],
+            batch["img2lidar"],
+            batch["time_diff"],
+            gt_bboxes=batch["gt_bboxes"],
+            gt_labels=batch["gt_labels"],
+            gt_mask=batch["gt_mask"],
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        losses = detection_loss(
+            outs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"]
+        )
+        # depth supervision on frame 0 (`models/racformer.py:377-378`)
+        if "gt_depth" in batch:
+            ld = depth_loss(outs["depth_logits"], batch["gt_depth"], **depth_cfg)
+            losses["loss_depth"] = ld
+            losses["loss_total"] = losses["loss_total"] + ld
+        return losses["loss_total"], (losses, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict, rng) -> tuple:
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def data_parallel_shardings(mesh: Mesh, state: TrainState, batch_example: Dict):
+    """Replicate state, shard every batch leaf on its leading axis."""
+    repl = NamedSharding(mesh, P())
+    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    batch_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("data")), batch_example
+    )
+    return state_sh, batch_sh

@@ -1,0 +1,124 @@
+"""Tests for the host-side data layer: rasterizers, augmentation geometry,
+synthetic dataset, and the nuScenes reader on a fabricated info pkl."""
+
+import os
+import pickle
+
+import numpy as np
+
+from racformer_tpu.data import (
+    ImageAug,
+    NuScenesRadarDataset,
+    SyntheticDataset,
+    points_to_depth_map,
+    radar_to_depth_rcs_maps,
+)
+from racformer_tpu.data.transforms import bev_rot_scale_aug, transform_boxes_bev
+
+
+def _pinhole(f=100.0, cx=50.0, cy=50.0):
+    M = np.eye(4, dtype=np.float32)
+    M[0, 0], M[1, 1] = f, f
+    M[0, 2], M[1, 2] = cx, cy
+    return M
+
+
+def test_depth_map_nearest_wins():
+    l2i = _pinhole()
+    # two points projecting to the same pixel at different depths
+    pts = np.array([[0.0, 0.0, 10.0], [0.0, 0.0, 5.0]], np.float32)
+    # camera looks +z here (identity rotation): u = f*x/z + cx
+    dm = points_to_depth_map(pts, l2i, (100, 100))
+    assert dm[50, 50] == 5.0
+
+
+def test_radar_column_smear():
+    l2i = _pinhole()
+    pts = np.array([[1.0, 0.0, 10.0, 7.5]], np.float32)  # u = 60
+    dm, rm = radar_to_depth_rcs_maps(pts, l2i, (100, 100))
+    assert (dm[:, 60] == 10.0).all()  # whole column written
+    assert (rm[:, 60] == 7.5).all()
+    assert dm[:, 59].sum() == 0
+
+
+def test_image_aug_geometry(rng):
+    cfg = dict(resize_lim=(0.5, 0.5), final_dim=(100, 200), src_dim=(400, 800),
+               rand_flip=False)
+    aug = ImageAug.sample(rng, cfg, training=True)
+    M = aug.matrix()
+    # a pixel (u, v) in the source maps to resize*u - crop_x
+    u, v = 300.0, 200.0
+    got = M @ np.array([u, v, 1.0, 1.0])
+    assert np.isclose(got[0], u * aug.resize - aug.crop[0])
+    assert np.isclose(got[1], v * aug.resize - aug.crop[1])
+
+
+def test_bev_aug_box_transform(rng):
+    T, ang, scale = bev_rot_scale_aug(rng)
+    boxes = np.array([[10.0, 0, 0, 2, 4, 1.5, 0.3, 1.0, 0.0]], np.float32)
+    out = transform_boxes_bev(boxes, T, ang, scale)
+    r = np.hypot(out[0, 0], out[0, 1])
+    assert np.isclose(r, 10.0 * scale, atol=1e-4)
+    assert np.isclose(out[0, 6], 0.3 + ang)
+    assert np.isclose(np.hypot(out[0, 7], out[0, 8]), scale, atol=1e-5)
+
+
+def test_synthetic_dataset_shapes():
+    ds = SyntheticDataset(num_samples=2, num_cams=2, num_frames=2, hw=(64, 128),
+                          max_radar_points=128, max_gt=8)
+    b = ds.batch([0, 1])
+    assert b["imgs"].shape == (2, 2, 2, 64, 128, 3)
+    assert b["radar_points"].shape == (2, 2, 128, 7)
+    assert b["gt_mask"].any()
+    # deterministic
+    b2 = ds.batch([0, 1])
+    np.testing.assert_array_equal(b["imgs"], b2["imgs"])
+
+
+def test_nuscenes_reader_fabricated(tmp_path, rng):
+    """Reader works on a fabricated info pkl with precomputed radar points."""
+    def cam(ts):
+        return {
+            "lidar2img": _pinhole(500, 352, 128),
+            "timestamp": ts,
+            "data_path": "",
+        }
+
+    infos = []
+    for i in range(3):
+        ts = 1_000_000 * i
+        infos.append(
+            dict(
+                token=f"tok{i}",
+                timestamp=ts,
+                cams={"CAM_FRONT": cam(ts), "CAM_LEFT": cam(ts)},
+                sweeps_cam=[
+                    dict(cams={"CAM_FRONT": cam(ts - 500_000 * (j + 1)),
+                               "CAM_LEFT": cam(ts - 500_000 * (j + 1))},
+                         timestamp=ts - 500_000 * (j + 1),
+                         radar_points=rng.normal(size=(50, 7)).astype(np.float32))
+                    for j in range(4)
+                ],
+                radar_points=rng.normal(size=(60, 7)).astype(np.float32) * 5,
+                gt_boxes=rng.normal(size=(5, 9)).astype(np.float32),
+                gt_labels=rng.integers(0, 10, size=(5,)),
+            )
+        )
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos}, f)
+
+    ds = NuScenesRadarDataset(
+        str(pkl), num_frames=3, frame_interval=2,
+        camera_types=("CAM_FRONT", "CAM_LEFT"), image_hw=(64, 128),
+        max_radar_points=64, max_gt=8, training=True,
+    )
+    assert len(ds) == 3
+    s = ds[2]
+    assert s["imgs"].shape == (3, 2, 64, 128, 3)
+    assert s["radar_points"].shape == (3, 64, 7)
+    assert s["radar_mask"][0].sum() == 60
+    assert s["lidar2img"].shape == (3, 2, 4, 4)
+    assert s["gt_mask"].sum() == 5
+    # time_diff: frame 0 minus history timestamps, non-negative
+    assert (s["time_diff"][1:] >= 0).all()

@@ -1,0 +1,91 @@
+"""Tests for Hungarian matching and detection/depth losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from racformer_tpu.train.matching import hungarian_assign, match_cost
+from racformer_tpu.train.losses import (
+    categorical_focal_loss,
+    depth_loss,
+    detection_loss,
+    sigmoid_focal_loss,
+)
+
+
+def test_hungarian_matches_scipy(rng):
+    cost = rng.normal(size=(3, 10, 4)).astype(np.float32)
+    got = np.asarray(hungarian_assign(jnp.asarray(cost)))
+    for s in range(3):
+        rows, cols = linear_sum_assignment(cost[s])
+        want = np.zeros(4, np.int32)
+        want[cols] = rows
+        np.testing.assert_array_equal(got[s], want)
+
+
+def test_match_cost_invalid_columns(rng):
+    Q, G = 8, 4
+    cls = rng.normal(size=(Q, 10)).astype(np.float32)
+    box = rng.normal(size=(Q, 10)).astype(np.float32)
+    gt = np.abs(rng.normal(size=(G, 9))).astype(np.float32) + 0.5
+    lab = rng.integers(0, 10, size=(G,))
+    mask = np.array([True, True, False, False])
+    c = np.asarray(match_cost(cls, box, gt, lab, mask, [2, 2, 1, 1, 1, 1, 1, 1, 1, 1]))
+    assert (c[:, 2:] >= 1e7).all()
+    assert np.isfinite(c[:, :2]).all() and (np.abs(c[:, :2]) < 1e4).all()
+    # an invalid column can never beat a valid one in assignment
+    m = np.asarray(hungarian_assign(jnp.asarray(c)))
+    assert m.shape == (G,)
+
+
+def test_sigmoid_focal_background():
+    """Background label (== num_classes) has no positive term."""
+    logits = jnp.full((5, 10), -10.0)
+    bg = jnp.full((5,), 10, jnp.int32)
+    loss = sigmoid_focal_loss(logits, bg, 10)
+    assert float(loss.sum()) < 1e-3  # confident negatives -> tiny loss
+    fg = jnp.zeros((5,), jnp.int32)
+    loss_fg = sigmoid_focal_loss(logits, fg, 10)
+    assert float(loss_fg.sum()) > 1.0  # missed positives -> large loss
+
+
+def test_categorical_focal_matches_reference_formula(rng):
+    logits = rng.normal(size=(6, 96)).astype(np.float32)
+    labels = rng.integers(0, 96, size=(6,))
+    got = np.asarray(categorical_focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    # kornia formula: -alpha * (1 - p_t)^gamma * log(p_t)
+    import torch
+    import torch.nn.functional as F
+
+    lt = torch.from_numpy(logits)
+    logp = F.log_softmax(lt, -1)
+    pt = logp.exp()[np.arange(6), labels]
+    want = (-0.25 * (1 - pt) ** 2.0 * logp[np.arange(6), labels]).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_depth_loss_finite(rng):
+    logits = rng.normal(size=(1, 2, 4, 4, 16)).astype(np.float32)
+    gt = rng.uniform(0, 60, size=(1, 2, 64, 64)).astype(np.float32)
+    gt[0, 0, :32] = 0.0  # missing depths
+    l = depth_loss(jnp.asarray(logits), jnp.asarray(gt), num_bins=16, downsample=16)
+    assert np.isfinite(float(l)) and float(l) >= 0
+
+
+def test_detection_loss_runs(rng):
+    L, B, Q, C, G = 2, 2, 16, 10, 4
+    outs = {
+        "all_cls_scores": jnp.asarray(rng.normal(size=(L, B, Q, C)), jnp.float32),
+        "all_bbox_preds": jnp.asarray(rng.normal(size=(L, B, Q, 10)), jnp.float32),
+    }
+    gt = jnp.asarray(np.abs(rng.normal(size=(B, G, 9))) + 0.5, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, size=(B, G)))
+    mask = jnp.asarray(np.array([[1, 1, 0, 0], [1, 1, 1, 0]], bool))
+    losses = detection_loss(outs, gt, labels, mask)
+    assert "loss_cls" in losses and "d0.loss_cls" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # perfect-background case: zero GT still finite
+    losses0 = detection_loss(outs, gt, labels, jnp.zeros_like(mask))
+    assert np.isfinite(float(losses0["loss_total"]))
