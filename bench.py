@@ -1,11 +1,15 @@
-"""Official benchmark: end-to-end RaCFormer inference throughput on one chip.
+"""Official benchmark: streaming per-frame RaCFormer inference on one chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
+Measures the streaming eval path (frame-cache, the reference's
+`simple_test_online` FPS protocol — `models/racformer.py:476` "only used when
+measuring FPS"): per new sample, one 6-camera frame of trunk compute + the
+8-frame windowed decoder.
+
 Baseline context: the reference repo records no throughput numbers
-(BASELINE.md); the working reference point is SparseBEV/RaCFormer-class
-detectors at ~4-5 FPS on an A100 with PyTorch fp16 for the R50 8-frame
-streaming configuration. vs_baseline is computed against 4.5 FPS.
+(BASELINE.md); the working reference point for RaCFormer-class R50 streaming
+inference is ~4.5 FPS on 1xA100 PyTorch fp16. vs_baseline is against that.
 """
 
 from __future__ import annotations
@@ -16,47 +20,56 @@ import time
 import jax
 import jax.numpy as jnp
 
+
 A100_REFERENCE_FPS = 4.5
 
 
 def main():
     from __graft_entry__ import _example_batch, _flagship_model
+    from racformer_tpu.eval.streaming import StreamingEvaluator
     from racformer_tpu.model import preprocess_images
 
     model = _flagship_model(train=False)
     batch = _example_batch(model)
-    args = [
-        jnp.asarray(batch[k])
-        for k in (
-            "imgs", "radar_points", "radar_mask", "radar_depth", "radar_rcs",
-            "lidar2img", "img2lidar", "time_diff",
+    arg_keys = ("radar_points", "radar_mask", "radar_depth", "radar_rcs",
+                "lidar2img", "img2lidar", "time_diff")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        preprocess_images(jnp.asarray(batch["imgs"])),
+        *[jnp.asarray(batch[k]) for k in arg_keys],
+    )
+
+    ev = StreamingEvaluator(model, variables)
+
+    def frame(t):
+        return dict(
+            imgs=batch["imgs"][0, t],
+            radar_points=batch["radar_points"][0, t],
+            radar_mask=batch["radar_mask"][0, t],
+            radar_depth=batch["radar_depth"][0, t],
+            radar_rcs=batch["radar_rcs"][0, t],
+            lidar2img=batch["lidar2img"][0, t],
+            img2lidar=batch["img2lidar"][0, t],
+            timestamp=0.5 * t,
         )
-    ]
-    variables = model.init(jax.random.PRNGKey(0), preprocess_images(args[0]), *args[1:])
 
-    @jax.jit
-    def fwd(imgs, *rest):
-        return model.apply(variables, preprocess_images(imgs), *rest)[
-            "all_cls_scores"
-        ]
+    # warm up: fill the window + trigger both compiles
+    for t in range(model.num_frames):
+        ev.step(frame(t))
 
-    out = fwd(*args)
-    out.block_until_ready()
-
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(*args)
-    out.block_until_ready()
+    for i in range(iters):
+        ev.step(frame(i % model.num_frames))
     dt = (time.perf_counter() - t0) / iters
 
     fps = 1.0 / dt
     print(
         json.dumps(
             {
-                "metric": "offline_eval_fps_per_chip",
+                "metric": "streaming_eval_fps_per_chip",
                 "value": round(fps, 3),
-                "unit": "samples/s (6cam x 8frame full forward, v5e)",
+                "unit": "frames/s (6cam streaming, 8-frame window, v5e)",
                 "vs_baseline": round(fps / A100_REFERENCE_FPS, 3),
             }
         )

@@ -113,7 +113,16 @@ class NuScenesRadarDataset:
 
     def _load_image(self, path: str) -> np.ndarray:
         # BGR order to match the reference's cv2 loading (the model's
-        # preprocessing converts BGR -> RGB on device)
+        # preprocessing converts BGR -> RGB on device). Uses the native
+        # libjpeg decoder when available (csrc/dataloader.cpp), PIL otherwise.
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from . import native
+
+            if native.available():
+                with open(path, "rb") as f:
+                    rgb = native.decode_jpeg(f.read())
+                if rgb is not None:
+                    return rgb[..., ::-1]
         rgb = np.asarray(Image.open(path).convert("RGB"))
         return rgb[..., ::-1]
 

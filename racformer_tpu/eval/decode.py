@@ -30,6 +30,7 @@ def decode_boxes(
     Output boxes use the lidar bottom-center convention (z -= h/2).
     """
     B, Q, C = cls_scores.shape
+    max_num = min(max_num, Q * C)
     scores = jax.nn.sigmoid(cls_scores).reshape(B, Q * C)
     top_scores, idx = jax.lax.top_k(scores, max_num)
     labels = idx % C

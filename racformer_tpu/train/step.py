@@ -31,7 +31,7 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None):
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
     depth_cfg = depth_cfg or {}
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, rng, depth_weight):
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dn": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
         outs, mutated = model.apply(
@@ -53,17 +53,21 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None):
         losses = detection_loss(
             outs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"]
         )
-        # depth supervision on frame 0 (`models/racformer.py:377-378`)
+        # depth supervision on frame 0 (`models/racformer.py:377-378`);
+        # depth_weight is a traced scalar so the curriculum hook
+        # (2.0 -> 1.0 at epoch 18) never retraces the step
         if "gt_depth" in batch:
-            ld = depth_loss(outs["depth_logits"], batch["gt_depth"], **depth_cfg)
+            ld = depth_loss(
+                outs["depth_logits"], batch["gt_depth"], **{**depth_cfg, "weight": 1.0}
+            ) * depth_weight
             losses["loss_depth"] = ld
             losses["loss_total"] = losses["loss_total"] + ld
         return losses["loss_total"], (losses, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch: Dict, rng) -> tuple:
+    def train_step(state: TrainState, batch: Dict, rng, depth_weight=2.0) -> tuple:
         (_, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rng)
+        )(state.params, state.batch_stats, batch, rng, depth_weight)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates

@@ -1,0 +1,59 @@
+"""Weight converter test: fabricate a torch-style state dict with the
+reference's backbone/neck naming and verify numerically-identical outputs
+through a converted layer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from racformer_tpu.nn.resnet import ResNet50
+from racformer_tpu.tools.convert_weights import convert_state_dict, apply_revise_keys
+
+
+def test_revise_keys():
+    sd = {"backbone.conv1.weight": 1, "neck.x": 2}
+    out = apply_revise_keys(sd, [("backbone", "img_backbone")])
+    assert "img_backbone.conv1.weight" in out and "neck.x" in out
+
+
+def test_backbone_conversion_numerics(rng):
+    model = ResNet50(dtype=jnp.float32, remat=False)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    # fabricate a torch state dict matching mmdet ResNet naming with random
+    # values, convert, and check one layer's conv actually changed + forward
+    # still runs with the converted weights
+    sd = {}
+    rngs = np.random.default_rng(1)
+    sd["img_backbone.conv1.weight"] = rngs.normal(size=(64, 3, 7, 7)).astype(np.float32)
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"img_backbone.bn1.{k}"] = np.abs(rngs.normal(size=(64,))).astype(np.float32)
+    sd["img_backbone.layer1.0.conv1.weight"] = rngs.normal(size=(64, 256, 1, 1)).astype(np.float32)
+
+    wrapped = {
+        "params": {"img_backbone": variables["params"]},
+        "batch_stats": {"img_backbone": variables["batch_stats"]},
+    }
+    converted, unmatched = convert_state_dict(sd, wrapped, strict=False)
+    bad = [u for u in unmatched if "shape mismatch" in u or "missing" in u]
+    # layer1.0.conv1 has in=64 in our tree (64->64), torch fabricated 256 -> mismatch reported
+    assert any("layer1.0.conv1" in u for u in bad)
+
+    # conv1 kernel transposed correctly: OIHW (64,3,7,7) -> HWIO (7,7,3,64)
+    got = converted["params"]["img_backbone"]["conv1"]["kernel"]
+    np.testing.assert_allclose(
+        got, np.transpose(sd["img_backbone.conv1.weight"], (2, 3, 1, 0)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        converted["batch_stats"]["img_backbone"]["bn1"]["mean"],
+        sd["img_backbone.bn1.running_mean"], atol=1e-6,
+    )
+
+    # converted variables still run
+    out = model.apply(
+        {"params": converted["params"]["img_backbone"],
+         "batch_stats": converted["batch_stats"]["img_backbone"]},
+        x,
+    )
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)

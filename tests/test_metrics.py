@@ -1,0 +1,66 @@
+"""Tests for the self-contained nuScenes-protocol metrics."""
+
+import numpy as np
+
+from racformer_tpu.eval.metrics import nuscenes_metrics
+
+
+def make_perfect_case(n_samples=4, n_per=6, seed=0):
+    rng = np.random.default_rng(seed)
+    preds, gts = [], []
+    for _ in range(n_samples):
+        boxes = np.zeros((n_per, 9), np.float32)
+        boxes[:, 0:2] = rng.uniform(-40, 40, size=(n_per, 2))
+        boxes[:, 3:6] = rng.uniform(1, 5, size=(n_per, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, size=n_per)
+        boxes[:, 7:9] = rng.normal(size=(n_per, 2))
+        labels = rng.integers(0, 10, size=n_per)
+        preds.append(dict(
+            bboxes=boxes.copy(),
+            scores=rng.uniform(0.5, 1.0, size=n_per),
+            labels=labels.copy(),
+            valid=np.ones(n_per, bool),
+        ))
+        gts.append(dict(bboxes=boxes.copy(), labels=labels.copy(),
+                        mask=np.ones(n_per, bool)))
+    return preds, gts
+
+
+def test_perfect_predictions():
+    preds, gts = make_perfect_case()
+    m = nuscenes_metrics(preds, gts)
+    assert m["mAP"] > 0.95
+    assert m["mATE"] < 0.01
+    assert m["mASE"] < 0.01
+    assert m["mAOE"] < 0.01
+    assert m["mAVE"] < 0.01
+    # NDS with perfect TP errors but mAAE=1 (no attributes): (5*1 + 4)/10
+    assert 0.85 < m["NDS"] <= 0.91
+
+
+def test_no_predictions():
+    _, gts = make_perfect_case()
+    preds = [dict(bboxes=np.zeros((1, 9)), scores=np.zeros(1),
+                  labels=np.zeros(1, int), valid=np.zeros(1, bool))
+             for _ in gts]
+    m = nuscenes_metrics(preds, gts)
+    assert m["mAP"] == 0.0
+    assert m["NDS"] <= 0.05
+
+
+def test_translation_error_reflected():
+    preds, gts = make_perfect_case()
+    for p in preds:
+        p["bboxes"][:, 0] += 1.5  # 1.5 m offset: matches at 2/4 m only
+    m = nuscenes_metrics(preds, gts)
+    assert 1.2 < m["mATE"] < 1.8
+    assert 0.3 < m["mAP"] < 0.7  # 2 of 4 thresholds match
+
+
+def test_front_only_filter():
+    preds, gts = make_perfect_case()
+    m_all = nuscenes_metrics(preds, gts)
+    m_front = nuscenes_metrics(preds, gts, front_only=True)
+    # perfect predictions stay perfect under consistent filtering
+    assert m_front["mAP"] > 0.9
+    assert abs(m_front["NDS"] - m_all["NDS"]) < 0.1

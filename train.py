@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Training driver.
+
+CLI-compatible surface with the reference (`/root/reference/train.py`):
+  python train.py --config racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py \
+      [--work-dir out] [--override k=v ...] [--resume] [--synthetic]
+
+Distributed model: single-controller JAX over a `data` mesh axis spanning all
+local chips (the reference spawns 8 DDP processes via torchrun; here one
+process drives the mesh and XLA inserts the gradient collectives).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--override", nargs="+", default=[])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--load-from", default=None, help="pretrained params pickle")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic dataset (no nuScenes needed)")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from racformer_tpu.config import Config
+    from racformer_tpu.data import NuScenesRadarDataset, SyntheticDataset
+    from racformer_tpu.model import RaCFormer, preprocess_images
+    from racformer_tpu.train import TrainState, make_optimizer, make_train_step
+    from racformer_tpu.train.checkpoint import CheckpointManager
+    from racformer_tpu.train.hooks import DepthWeightCurriculum
+    from racformer_tpu.utils import MetricLogger
+
+    cfg = Config.fromfile(args.config).merge_override(args.override)
+    work_dir = args.work_dir or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
+    )
+    os.makedirs(work_dir, exist_ok=True)
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    n_dev = len(devices)
+    batch_per_chip = int(cfg.get("batch_size_per_chip", 2))
+    global_batch = batch_per_chip * n_dev
+
+    model_cfg = dict(cfg.model)
+    model = RaCFormer(**model_cfg, train_mode=True)
+
+    # --- dataset ---------------------------------------------------------
+    ann = cfg.data["train"]["ann_file"]
+    if args.synthetic or not os.path.exists(ann):
+        dataset = SyntheticDataset(
+            num_samples=max(64, global_batch * 4),
+            num_cams=model.num_cams,
+            num_frames=model.num_frames,
+            hw=model.image_hw,
+            max_radar_points=cfg.radar["max_points"],
+            max_gt=model.max_gt,
+        )
+    else:
+        dataset = NuScenesRadarDataset(
+            ann,
+            num_frames=model.num_frames,
+            frame_interval=tuple(cfg.data["train"].get("frame_interval", (4, 8))),
+            image_hw=model.image_hw,
+            max_radar_points=cfg.radar["max_points"],
+            max_gt=model.max_gt,
+            training=True,
+            seed=args.seed,
+        )
+
+    steps_per_epoch = max(len(dataset) // global_batch, 1)
+    total_epochs = int(cfg.get("total_epochs", 36))
+    total_steps = args.max_steps or steps_per_epoch * total_epochs
+
+    # --- init ------------------------------------------------------------
+    sample = dataset.batch(list(range(global_batch)))
+    batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "token"}
+    rngs = {
+        "params": jax.random.PRNGKey(args.seed),
+        "dn": jax.random.PRNGKey(args.seed + 1),
+        "dropout": jax.random.PRNGKey(args.seed + 2),
+    }
+    variables = jax.jit(
+        lambda b: model.init(
+            rngs, preprocess_images(b["imgs"]), b["radar_points"], b["radar_mask"],
+            b["radar_depth"], b["radar_rcs"], b["lidar2img"], b["img2lidar"],
+            b["time_diff"], gt_bboxes=b["gt_bboxes"], gt_labels=b["gt_labels"],
+            gt_mask=b["gt_mask"],
+        )
+    )(batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if args.load_from or cfg.get("load_from"):
+        from racformer_tpu.tools.convert_weights import load_pretrained
+
+        path = args.load_from or cfg.load_from
+        if os.path.exists(path):
+            params = load_pretrained(path, params, cfg.get("revise_keys"))
+
+    opt = dict(cfg.get("optimizer", {}))
+    tx, sched = make_optimizer(
+        params,
+        base_lr=opt.get("base_lr", 4e-4),
+        weight_decay=opt.get("weight_decay", 0.01),
+        total_steps=total_steps,
+        warmup_steps=opt.get("warmup_steps", 500),
+        clip_norm=opt.get("clip_norm", 35.0),
+    )
+    state = TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32))
+
+    ckpt = CheckpointManager(work_dir, max_keep=4)
+    start_step = 0
+    if args.resume:
+        restored = ckpt.restore_latest(state)
+        if restored:
+            start_step, state = restored
+            print(f"resumed from step {start_step}")
+
+    train_step = make_train_step(model, tx, depth_cfg=dict(cfg.get("depth", {})))
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(repl, {k: shard for k in batch}, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+    state = jax.device_put(state, repl)
+    curriculum = DepthWeightCurriculum(start_epoch=18)
+    logger = MetricLogger(work_dir, total_steps=total_steps)
+    rng = jax.random.PRNGKey(args.seed + 17)
+
+    order = np.random.default_rng(args.seed).permutation(len(dataset))
+    for step in range(start_step, total_steps):
+        epoch = step // steps_per_epoch
+        idxs = [int(order[(step * global_batch + i) % len(dataset)]) for i in range(global_batch)]
+        sample = dataset.batch(idxs)
+        batch = {
+            k: jax.device_put(jnp.asarray(v), shard)
+            for k, v in sample.items()
+            if k != "token"
+        }
+        rng, sub = jax.random.split(rng)
+        state, metrics = jitted(
+            state, batch, jax.device_put(sub, repl),
+            jnp.asarray(curriculum.weight(epoch), jnp.float32),
+        )
+        logger.log_step(step, jax.device_get(metrics), lr=float(sched(step)))
+
+        if (step + 1) % steps_per_epoch == 0 or step == total_steps - 1:
+            ckpt.save(step + 1, jax.device_get(state))
+
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()
