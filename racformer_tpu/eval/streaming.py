@@ -24,37 +24,70 @@ class StreamingEvaluator:
         self.model = model
         self.variables = variables
         self.T = model.num_frames
-        self.cache = None  # (fpn list, lss, radar, lidar2img, ts)
+        self.cache = None  # (fpn list, lss, radar, lidar2img, ts) — device pytree
         ecfg = eval_cfg or {}
 
         def encode(v, imgs, radar_points, radar_mask, radar_depth, radar_rcs,
                    img2lidar):
-            return model.apply(
+            fpn, lss, radar, _ = model.apply(
                 v, preprocess_images(imgs), radar_points, radar_mask,
                 radar_depth, radar_rcs, img2lidar, method=model.encode_frame,
             )
+            return fpn, lss, radar
 
-        def decode(v, fpn, lss, radar, lidar2img, time_diff):
+        def init_cache(feats, lidar2img, ts):
+            # bootstrap: duplicate the first frame across the window (the
+            # reference pads missing history with the first frame,
+            # `loaders/pipelines/loading.py:668-676`)
+            fpn, lss, radar = feats
+            T = self.T
+            return (
+                [jnp.repeat(f[:, None], T, axis=1) for f in fpn],
+                jnp.repeat(lss[:, None], T, axis=1),
+                jnp.repeat(radar[:, None], T, axis=1),
+                jnp.repeat(lidar2img[:, None], T, axis=1),
+                jnp.full((1, T), ts),
+            )
+
+        def update_decode(v, cache, feats, lidar2img, ts):
+            # window shift (newest at index 0) fused with the decoder so no
+            # eager per-step device ops remain
+            fpn, lss, radar = feats
+            cfpn, clss, cradar, cl2i, cts = cache
+            T = self.T
+            fpn_w = [
+                jnp.concatenate([f[:, None], cf[:, : T - 1]], axis=1)
+                for f, cf in zip(fpn, cfpn)
+            ]
+            lss_w = jnp.concatenate([lss[:, None], clss[:, : T - 1]], axis=1)
+            radar_w = jnp.concatenate([radar[:, None], cradar[:, : T - 1]], axis=1)
+            l2i_w = jnp.concatenate([lidar2img[:, None], cl2i[:, : T - 1]], axis=1)
+            ts_w = jnp.concatenate([jnp.reshape(ts, (1, 1)), cts[:, : T - 1]], axis=1)
+            new_cache = (fpn_w, lss_w, radar_w, l2i_w, ts_w)
+
+            time_diff = (ts_w[:, :1] - ts_w).astype(jnp.float32)
             outs = model.apply(
-                v, fpn, lss, radar, lidar2img, time_diff,
+                v, fpn_w, lss_w, radar_w, l2i_w, time_diff,
                 method=model.decode_window,
             )
-            return decode_boxes(
+            decoded = decode_boxes(
                 outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1],
                 max_num=ecfg.get("max_num", 300),
                 score_threshold=ecfg.get("score_threshold", 0.05),
                 post_center_range=tuple(ecfg.get(
                     "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
             )
+            return new_cache, decoded
 
         self._encode = jax.jit(encode)
-        self._decode = jax.jit(decode)
+        self._init_cache = jax.jit(init_cache)
+        self._update_decode = jax.jit(update_decode, donate_argnums=(1,))
 
     def reset(self):
         """Call at scene boundaries (a new scene must not see old frames)."""
         self.cache = None
 
-    def step(self, frame: Dict) -> Dict:
+    def step(self, frame: Dict, blocking: bool = True) -> Dict:
         """frame: dict with imgs [N, H, W, 3] (raw), radar_points [P, 7],
         radar_mask [P], radar_depth/rcs [N, H, W], lidar2img [N, 4, 4],
         img2lidar [N, 4, 4], timestamp (float seconds).
@@ -62,37 +95,15 @@ class StreamingEvaluator:
         Returns decoded boxes for the current frame.
         """
         b = lambda x: jnp.asarray(x)[None]
-        fpn, lss, radar, _ = self._encode(
+        feats = self._encode(
             self.variables, b(frame["imgs"]), b(frame["radar_points"]),
             b(frame["radar_mask"]), b(frame["radar_depth"]),
             b(frame["radar_rcs"]), b(frame["img2lidar"]),
         )
-        ts = float(frame["timestamp"])
+        l2i = b(frame["lidar2img"])
+        ts = jnp.float32(frame["timestamp"])
 
         if self.cache is None:
-            # bootstrap: duplicate the first frame across the window (the
-            # reference pads missing history with the first frame,
-            # `loaders/pipelines/loading.py:668-676`)
-            fpn_w = [jnp.repeat(f[:, None], self.T, axis=1) for f in fpn]
-            lss_w = jnp.repeat(lss[:, None], self.T, axis=1)
-            radar_w = jnp.repeat(radar[:, None], self.T, axis=1)
-            l2i_w = jnp.repeat(jnp.asarray(frame["lidar2img"])[None, None], self.T, axis=1)
-            ts_w = jnp.full((1, self.T), ts)
-        else:
-            cfpn, clss, cradar, cl2i, cts = self.cache
-            fpn_w = [
-                jnp.concatenate([f[:, None], cf[:, : self.T - 1]], axis=1)
-                for f, cf in zip(fpn, cfpn)
-            ]
-            lss_w = jnp.concatenate([lss[:, None], clss[:, : self.T - 1]], axis=1)
-            radar_w = jnp.concatenate([radar[:, None], cradar[:, : self.T - 1]], axis=1)
-            l2i_w = jnp.concatenate(
-                [jnp.asarray(frame["lidar2img"])[None, None], cl2i[:, : self.T - 1]],
-                axis=1,
-            )
-            ts_w = jnp.concatenate([jnp.full((1, 1), ts), cts[:, : self.T - 1]], axis=1)
-
-        self.cache = (fpn_w, lss_w, radar_w, l2i_w, ts_w)
-        time_diff = (ts_w[:, :1] - ts_w).astype(jnp.float32)
-        out = self._decode(self.variables, fpn_w, lss_w, radar_w, l2i_w, time_diff)
-        return jax.device_get(out)
+            self.cache = self._init_cache(feats, l2i, ts)
+        self.cache, out = self._update_decode(self.variables, self.cache, feats, l2i, ts)
+        return jax.device_get(out) if blocking else out

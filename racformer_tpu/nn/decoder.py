@@ -189,6 +189,7 @@ class RaCFormerDecoder(nn.Module):
         scan = nn.scan(
             RaCFormerDecoderLayer,
             variable_broadcast="params",
+            variable_axes={"intermediates": 0},  # per-iteration DUMP capture
             split_rngs={"params": False, "dropout": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
                      nn.broadcast, nn.broadcast, nn.broadcast),

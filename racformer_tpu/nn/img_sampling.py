@@ -93,6 +93,10 @@ class ImageRadialSampling(nn.Module):
         sample_points = jnp.concatenate([bx, by, back[..., 2:3]], axis=-1)
         sample_points = sample_points.reshape(B, Q, T, G, P * D, 3)
 
+        # DUMP-equivalent capture of the sampling points
+        # (`models/sparsebev_sampling.py:82-87`)
+        self.sow("intermediates", "sample_points", sample_points)
+
         w = nn.Dense(G * T * D * P * L, dtype=jnp.float32, name="scale_weights")(query_feat)
         w = w.reshape(B, Q, G, T, D * P, L)
         w = jax.nn.softmax(w, axis=-1)

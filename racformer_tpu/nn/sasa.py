@@ -49,6 +49,9 @@ class ScaleAdaptiveSelfAttention(nn.Module):
         )  # [B, Q, Q]
 
         tau = nn.Dense(M, dtype=jnp.float32, name="gen_tau")(query_feat)  # [B, Q, M]
+        # DUMP-equivalent intermediate capture (`models/utils.py:308-316`):
+        # run apply(..., mutable=['intermediates']) to collect these
+        self.sow("intermediates", "sasa_tau", tau)
         bias = dist[:, None, :, :] * tau.transpose(0, 2, 1)[..., None]  # [B, M, Q, Q]
         if attn_mask is not None:
             bias = jnp.where(attn_mask[None, None, :, :], -jnp.inf, bias)
