@@ -1,0 +1,246 @@
+"""Offline nuScenes info generation: camera sweep chains + precomputed radar.
+
+Capability match for `tools/gen_sweep_info.py`
+(`/root/reference/tools/gen_sweep_info.py:18-132`) and the on-the-fly radar
+aggregation it leaves to the dataloader (`loaders/nuscenes_dataset.py:346-493`,
+`RadarPointCloud_v2.from_file_multisweep`): per keyframe, walk the sample_data
+chains to collect inter-keyframe camera sweeps, and aggregate `nsweeps` radar
+sweeps per channel into the reference lidar frame — with per-point time lag
+and the compensated-velocity rotation into the lidar frame — storing the
+resulting [P, 7] arrays directly in the info pkl.
+
+Runs devkit-free off the raw nuScenes table JSONs (sample.json,
+sample_data.json, calibrated_sensor.json, ego_pose.json, sensor.json) and a
+minimal PCD parser for the radar files, so workers never touch the devkit at
+load time (the reference constructs a NuScenes instance at import time in
+every worker — `loaders/nuscenes_dataset.py:20-21` — an API wart SURVEY.md
+flags for removal).
+
+Usage:
+  python -m racformer_tpu.tools.gen_sweep_info \
+      --dataroot data/nuscenes --version v1.0-trainval \
+      --infos data/nuscenes/nuscenes_infos_train.pkl \
+      --out data/nuscenes/nuscenes_infos_train_sweep.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+from typing import Dict, List
+
+import numpy as np
+
+RADAR_CHANNELS = (
+    "RADAR_FRONT", "RADAR_FRONT_LEFT", "RADAR_FRONT_RIGHT",
+    "RADAR_BACK_LEFT", "RADAR_BACK_RIGHT",
+)
+CAMERA_CHANNELS = (
+    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+    "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+)
+# selected radar dims: x, y, z, rcs(5), vx_comp(8), vy_comp(9), time_lag
+# (`loaders/pipelines/loading.py:801`)
+RADAR_USE_DIMS = (0, 1, 2, 5, 8, 9)
+
+
+def quat_to_rot(q) -> np.ndarray:
+    """[w, x, y, z] -> 3x3 rotation matrix (replaces pyquaternion)."""
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def transform_matrix(translation, rotation_q, inverse=False) -> np.ndarray:
+    R = quat_to_rot(rotation_q)
+    t = np.asarray(translation, np.float64)
+    M = np.eye(4)
+    if inverse:
+        M[:3, :3] = R.T
+        M[:3, 3] = -R.T @ t
+    else:
+        M[:3, :3] = R
+        M[:3, 3] = t
+    return M
+
+
+def read_pcd(path: str) -> np.ndarray:
+    """Minimal binary PCD reader for nuScenes radar files -> [P, F] float32."""
+    with open(path, "rb") as f:
+        header: Dict[str, List[str]] = {}
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            k, *vals = line.split()
+            header[k.upper()] = vals
+            if k.upper() == "DATA":
+                data_fmt = vals[0]
+                break
+        fields = header["FIELDS"]
+        sizes = list(map(int, header["SIZE"]))
+        types = header["TYPE"]
+        counts = list(map(int, header.get("COUNT", ["1"] * len(fields))))
+        width = int(header["WIDTH"][0])
+        np_types = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1", ("I", 2): "i2",
+                    ("I", 4): "i4", ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4"}
+        dtype = np.dtype([
+            (name, np_types[(t, s)], c)
+            for name, t, s, c in zip(fields, types, sizes, counts)
+        ])
+        if data_fmt != "binary":
+            raise ValueError(f"unsupported PCD data format {data_fmt}")
+        raw = np.frombuffer(f.read(dtype.itemsize * width), dtype=dtype)
+    return np.stack([raw[name].astype(np.float32).reshape(-1) for name in fields], 1)
+
+
+class Tables:
+    """Raw nuScenes table access (devkit-free)."""
+
+    def __init__(self, dataroot: str, version: str):
+        self.dataroot = dataroot
+        base = os.path.join(dataroot, version)
+        self.sample = self._index(base, "sample")
+        self.sample_data = self._index(base, "sample_data")
+        self.calibrated_sensor = self._index(base, "calibrated_sensor")
+        self.ego_pose = self._index(base, "ego_pose")
+        self.sensor = self._index(base, "sensor")
+        # sample token -> {channel: sample_data token} for keyframes
+        self.sample_to_sd: Dict[str, Dict[str, str]] = {}
+        for sd in self.sample_data.values():
+            if not sd["is_key_frame"]:
+                continue
+            ch = self.channel(sd)
+            self.sample_to_sd.setdefault(sd["sample_token"], {})[ch] = sd["token"]
+
+    @staticmethod
+    def _index(base: str, name: str) -> Dict[str, Dict]:
+        with open(os.path.join(base, f"{name}.json")) as f:
+            rows = json.load(f)
+        return {r["token"]: r for r in rows}
+
+    def channel(self, sd: Dict) -> str:
+        cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]
+        return self.sensor[cs["sensor_token"]]["channel"]
+
+    def global_from_sensor(self, sd: Dict) -> np.ndarray:
+        cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]
+        ep = self.ego_pose[sd["ego_pose_token"]]
+        return transform_matrix(ep["translation"], ep["rotation"]) @ \
+            transform_matrix(cs["translation"], cs["rotation"])
+
+    def sensor_from_global(self, sd: Dict) -> np.ndarray:
+        cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]
+        ep = self.ego_pose[sd["ego_pose_token"]]
+        return transform_matrix(cs["translation"], cs["rotation"], inverse=True) @ \
+            transform_matrix(ep["translation"], ep["rotation"], inverse=True)
+
+
+def aggregate_radar(tables: Tables, sample_token: str, nsweeps: int = 5,
+                    channels=RADAR_CHANNELS) -> np.ndarray:
+    """Aggregate nsweeps per radar channel into the sample's lidar frame.
+
+    Mirrors `RadarPointCloud_v2.from_file_multisweep`
+    (`loaders/nuscenes_dataset.py:400-493`): transform points sweep -> global
+    -> reference lidar frame, rotate compensated velocities with the combined
+    rotation, append per-point time lag. Returns [P, 7].
+    """
+    sample = tables.sample[sample_token]
+    lidar_sd = tables.sample_data[tables.sample_to_sd[sample_token]["LIDAR_TOP"]]
+    ref_from_global = tables.sensor_from_global(lidar_sd)
+    ref_time = lidar_sd["timestamp"] / 1e6
+
+    out = []
+    for ch in channels:
+        tok = tables.sample_to_sd[sample_token].get(ch)
+        if tok is None:
+            continue
+        sd = tables.sample_data[tok]
+        for _ in range(nsweeps):
+            path = os.path.join(tables.dataroot, sd["filename"])
+            if os.path.exists(path):
+                pts = read_pcd(path)
+                M = ref_from_global @ tables.global_from_sensor(sd)
+                xyz = pts[:, 0:3] @ M[:3, :3].T + M[:3, 3]
+                rcs = pts[:, 5:6]
+                vel = pts[:, 8:10] @ M[:2, :2].T  # rotate comp. velocities
+                lag = np.full_like(rcs, ref_time - sd["timestamp"] / 1e6)
+                out.append(
+                    np.concatenate([xyz, rcs, vel, lag], 1).astype(np.float32)
+                )
+            if not sd["prev"]:
+                break
+            sd = tables.sample_data[sd["prev"]]
+    if not out:
+        return np.zeros((0, 7), np.float32)
+    return np.concatenate(out, 0)
+
+
+def collect_camera_sweeps(tables: Tables, sample_token: str,
+                          max_sweeps: int = 60) -> List[Dict]:
+    """Walk the camera sample_data chains backwards, grouping the 6 cameras
+    per sweep step (the reference stores up to 60 sweep dicts,
+    `loaders/nuscenes_dataset.py:184-205`)."""
+    heads = {}
+    for ch in CAMERA_CHANNELS:
+        tok = tables.sample_to_sd[sample_token].get(ch)
+        if tok:
+            heads[ch] = tables.sample_data[tok]
+    sweeps = []
+    for _ in range(max_sweeps):
+        step = {}
+        done = False
+        for ch, sd in list(heads.items()):
+            if not sd["prev"]:
+                done = True
+                break
+            sd = tables.sample_data[sd["prev"]]
+            heads[ch] = sd
+            cs = tables.calibrated_sensor[sd["calibrated_sensor_token"]]
+            step[ch] = dict(
+                data_path=os.path.join(tables.dataroot, sd["filename"]),
+                timestamp=sd["timestamp"],
+                sensor2ego=transform_matrix(cs["translation"], cs["rotation"]),
+                cam_intrinsic=np.asarray(cs["camera_intrinsic"]),
+                ego_pose=tables.ego_pose[sd["ego_pose_token"]],
+            )
+        if done or len(step) < len(heads):
+            break
+        sweeps.append(dict(cams=step, timestamp=min(c["timestamp"] for c in step.values())))
+    return sweeps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataroot", required=True)
+    ap.add_argument("--version", default="v1.0-trainval")
+    ap.add_argument("--infos", required=True, help="existing mmdet3d-style info pkl")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--nsweeps", type=int, default=5)
+    args = ap.parse_args()
+
+    tables = Tables(args.dataroot, args.version)
+    with open(args.infos, "rb") as f:
+        data = pickle.load(f)
+    infos = data["infos"] if isinstance(data, dict) else data
+
+    for i, info in enumerate(infos):
+        tok = info["token"]
+        info["radar_points"] = aggregate_radar(tables, tok, args.nsweeps)
+        info["sweeps_cam"] = collect_camera_sweeps(tables, tok)
+        # radar for each sweep step too (history frames)
+        for sw in info["sweeps_cam"]:
+            sw.setdefault("radar_points", info["radar_points"])
+        if i % 500 == 0:
+            print(f"{i}/{len(infos)}")
+
+    with open(args.out, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": args.version}}, f)
+    print(f"wrote {len(infos)} infos -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

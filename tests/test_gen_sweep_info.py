@@ -1,0 +1,126 @@
+"""Tests for the devkit-free info generation tool: PCD parsing, quaternion
+math, and radar aggregation over fabricated nuScenes tables."""
+
+import json
+import os
+import struct
+
+import numpy as np
+
+from racformer_tpu.tools.gen_sweep_info import (
+    Tables,
+    aggregate_radar,
+    collect_camera_sweeps,
+    quat_to_rot,
+    read_pcd,
+    transform_matrix,
+)
+
+
+def test_quat_to_rot():
+    # identity
+    np.testing.assert_allclose(quat_to_rot([1, 0, 0, 0]), np.eye(3), atol=1e-12)
+    # 90 deg about z
+    q = [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]
+    R = quat_to_rot(q)
+    np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+
+def test_transform_matrix_inverse():
+    q = [np.cos(0.3), 0, 0, np.sin(0.3)]
+    t = [1.0, -2.0, 0.5]
+    M = transform_matrix(t, q)
+    Mi = transform_matrix(t, q, inverse=True)
+    np.testing.assert_allclose(M @ Mi, np.eye(4), atol=1e-12)
+
+
+def _write_pcd(path, pts):
+    """Write a binary PCD with nuScenes-radar-like 18 float fields."""
+    n = len(pts)
+    fields = [f"f{i}" for i in range(pts.shape[1])]
+    header = (
+        "VERSION 0.7\n"
+        f"FIELDS {' '.join(fields)}\n"
+        f"SIZE {' '.join(['4'] * len(fields))}\n"
+        f"TYPE {' '.join(['F'] * len(fields))}\n"
+        f"COUNT {' '.join(['1'] * len(fields))}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\nDATA binary\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(pts.astype("<f4").tobytes())
+
+
+def test_read_pcd(tmp_path, rng):
+    pts = rng.normal(size=(17, 18)).astype(np.float32)
+    p = tmp_path / "radar.pcd"
+    _write_pcd(p, pts)
+    out = read_pcd(str(p))
+    np.testing.assert_allclose(out, pts, atol=1e-6)
+
+
+def _fabricate_tables(tmp_path, rng):
+    version = "v1.0-test"
+    base = tmp_path / version
+    os.makedirs(base)
+    ident_cs = dict(translation=[0, 0, 0], rotation=[1, 0, 0, 0])
+
+    sensors, calibs, poses, sds, samples = [], [], [], [], []
+    sensors.append(dict(token="sen_lidar", channel="LIDAR_TOP", modality="lidar"))
+    sensors.append(dict(token="sen_radar", channel="RADAR_FRONT", modality="radar"))
+    sensors.append(dict(token="sen_cam", channel="CAM_FRONT", modality="camera"))
+    for name, sen in [("cs_lidar", "sen_lidar"), ("cs_radar", "sen_radar"),
+                      ("cs_cam", "sen_cam")]:
+        calibs.append(dict(token=name, sensor_token=sen,
+                           camera_intrinsic=[[500, 0, 300], [0, 500, 200], [0, 0, 1]],
+                           **ident_cs))
+    poses.append(dict(token="ep0", translation=[10, 0, 0], rotation=[1, 0, 0, 0],
+                      timestamp=1_000_000))
+    samples.append(dict(token="samp0", timestamp=1_000_000, scene_token="sc0",
+                        prev="", next=""))
+
+    # radar pcd on disk
+    pts = np.zeros((4, 18), np.float32)
+    pts[:, 0] = [1, 2, 3, 4]  # x in sensor frame
+    pts[:, 5] = 7.0  # rcs
+    pts[:, 8] = 1.0  # vx_comp
+    os.makedirs(tmp_path / "sweeps")
+    _write_pcd(tmp_path / "sweeps" / "r0.pcd", pts)
+
+    sds.append(dict(token="sd_lidar", sample_token="samp0", is_key_frame=True,
+                    calibrated_sensor_token="cs_lidar", ego_pose_token="ep0",
+                    timestamp=1_000_000, filename="x.bin", prev="", next=""))
+    sds.append(dict(token="sd_radar", sample_token="samp0", is_key_frame=True,
+                    calibrated_sensor_token="cs_radar", ego_pose_token="ep0",
+                    timestamp=1_000_000, filename="sweeps/r0.pcd", prev="", next=""))
+    # camera chain: keyframe + 2 sweeps
+    for i, (tok, prev) in enumerate([("sd_cam0", "sd_cam1"), ("sd_cam1", "sd_cam2"),
+                                     ("sd_cam2", "")]):
+        sds.append(dict(token=tok, sample_token="samp0", is_key_frame=(i == 0),
+                        calibrated_sensor_token="cs_cam", ego_pose_token="ep0",
+                        timestamp=1_000_000 - i * 100_000,
+                        filename=f"cam{i}.jpg", prev=prev, next=""))
+
+    for name, rows in [("sample", samples), ("sample_data", sds),
+                       ("calibrated_sensor", calibs), ("ego_pose", poses),
+                       ("sensor", sensors)]:
+        with open(base / f"{name}.json", "w") as f:
+            json.dump(rows, f)
+    return Tables(str(tmp_path), version)
+
+
+def test_radar_aggregation_and_sweeps(tmp_path, rng):
+    tables = _fabricate_tables(tmp_path, rng)
+    pts = aggregate_radar(tables, "samp0", nsweeps=2)
+    assert pts.shape == (4, 7)
+    # identity calibs and shared ego pose: lidar-frame x == sensor x
+    np.testing.assert_allclose(pts[:, 0], [1, 2, 3, 4], atol=1e-5)
+    np.testing.assert_allclose(pts[:, 3], 7.0)
+    np.testing.assert_allclose(pts[:, 4], 1.0)  # rotated vx (identity)
+    np.testing.assert_allclose(pts[:, 6], 0.0)  # zero time lag (keyframe)
+
+    sweeps = collect_camera_sweeps(tables, "samp0")
+    assert len(sweeps) == 2
+    assert sweeps[0]["cams"]["CAM_FRONT"]["timestamp"] == 900_000
+    assert sweeps[1]["cams"]["CAM_FRONT"]["timestamp"] == 800_000
