@@ -35,6 +35,10 @@ def _polygon_area(poly: np.ndarray) -> float:
     return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
 
+def _cross2(a, b) -> float:
+    return float(a[0] * b[1] - a[1] * b[0])
+
+
 def _clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Sutherland-Hodgman convex polygon clipping."""
     out = list(subject)
@@ -45,13 +49,13 @@ def _clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
         if not inp:
             break
         prev = inp[-1]
-        prev_in = np.cross(edge, prev - a) >= 0
+        prev_in = _cross2(edge, prev - a) >= 0
         for cur in inp:
-            cur_in = np.cross(edge, cur - a) >= 0
+            cur_in = _cross2(edge, cur - a) >= 0
             if cur_in != prev_in:
-                den = np.cross(cur - prev, edge)
+                den = _cross2(cur - prev, edge)
                 if abs(den) > 1e-12:
-                    t = np.cross(a - prev, edge) / den
+                    t = _cross2(a - prev, edge) / den
                     out.append(prev + t * (cur - prev))
             if cur_in:
                 out.append(cur)

@@ -63,6 +63,7 @@ class RaCFormer(nn.Module):
     depth_bins: int = 96
     bev_size: tuple = (128, 128)
     query_denoising: bool = True
+    num_decoder_layers: int = 6
     max_gt: int = 64
     train_mode: bool = False
     trunk_dtype: Any = jnp.bfloat16
@@ -109,6 +110,7 @@ class RaCFormer(nn.Module):
             query_denoising=self.query_denoising,
             max_gt=self.max_gt,
             decoder_cfg=dict(
+                num_layers=self.num_decoder_layers,
                 embed_dims=self.embed_dims,
                 num_frames=self.num_frames,
                 num_levels=self.num_levels,
@@ -138,7 +140,14 @@ class RaCFormer(nn.Module):
         x = imgs.reshape(S * N, H, W, 3)
         c2, c3, c4, c5 = self.img_backbone(x)
         fpn = self.img_neck([c2, c3, c4, c5])
-        fpn = [f.reshape(S, N, *f.shape[1:]) for f in fpn]
+        # group channels for the decoder's image sampler here (per frame)
+        # rather than per decode call: [SN, h, w, G*c] -> [S, G, N, h, w, c]
+        G = self.num_groups
+        c = self.embed_dims // G
+        fpn = [
+            f.reshape(S, N, f.shape[1], f.shape[2], G, c).transpose(0, 4, 1, 2, 3, 5)
+            for f in fpn
+        ]
         lss_feat = self.img_lss_neck([c4, c5])  # [SN, H/16, W/16, C]
         hf, wf = lss_feat.shape[1], lss_feat.shape[2]
         lss_feat = lss_feat.astype(jnp.float32).reshape(S, N, hf, wf, self.embed_dims)
@@ -154,17 +163,16 @@ class RaCFormer(nn.Module):
                       gt_bboxes=None, gt_labels=None, gt_mask=None):
         """Head over a T-frame feature window.
 
-        fpn_feats: L x [B, T, N, h, w, C]; lss_bev / radar_bev:
-        [B, T, ny, nx, C]; lidar2img: [B, T, N, 4, 4]; time_diff: [B, T].
+        fpn_feats: L x [B, T, G, N, h, w, c] (pre-grouped by `encode_frame`);
+        lss_bev / radar_bev: [B, T, ny, nx, C]; lidar2img: [B, T, N, 4, 4];
+        time_diff: [B, T].
+
+        Pyramid features stay in the trunk dtype (bf16): the decoder's
+        bilinear gathers are HBM-bandwidth bound and dominate decode time;
+        f32 math resumes right after each gather.
         """
         B, T = lss_bev.shape[0], lss_bev.shape[1]
-        G = self.num_groups
-        c = self.embed_dims // G
-        mlvl = []
-        for f in fpn_feats:
-            _, _, N, h, w, _ = f.shape
-            f = f.reshape(B, T, N, h, w, G, c).transpose(0, 1, 5, 2, 3, 4, 6)
-            mlvl.append(f.astype(self.head_dtype))
+        mlvl = list(fpn_feats)
         return self.pts_bbox_head(
             mlvl,
             lss_bev.astype(self.head_dtype),

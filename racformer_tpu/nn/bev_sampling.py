@@ -53,7 +53,8 @@ class BEVCrossFrameAttention(nn.Module):
         c = C // M
 
         v = nn.Dense(C, dtype=self.dtype, name="value_proj")(value)
-        v = v.reshape(B * T, H, W, M, c)
+        # bf16 for the bandwidth-bound bilinear gather (f32 resumes after)
+        v = v.astype(jnp.bfloat16).reshape(B * T, H, W, M, c)
         l = loc.transpose(0, 3, 1, 2, 4, 5).reshape(B * T, Q, M, -1, 2)
         w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..model.augment import grid_mask, photometric_distortion
 from ..model.racformer import RaCFormer, preprocess_images
 from .losses import depth_loss, detection_loss
 
@@ -34,9 +35,13 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None):
     def loss_fn(params, batch_stats, batch, rng, depth_weight):
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dn": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
+        # device-side train augmentation (the reference's GPU-side color
+        # jitter + GridMask, `models/racformer.py:197-224` / `:108-109`)
+        imgs = photometric_distortion(jax.random.fold_in(rng, 2), batch["imgs"])
+        imgs = grid_mask(jax.random.fold_in(rng, 3), imgs)
         outs, mutated = model.apply(
             variables,
-            preprocess_images(batch["imgs"]),
+            preprocess_images(imgs),
             batch["radar_points"],
             batch["radar_mask"],
             batch["radar_depth"],
