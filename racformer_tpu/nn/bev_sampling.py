@@ -20,7 +20,6 @@ import flax.linen as nn
 from ..ops.bbox_codec import theta_d_to_xy, xy_to_theta_d
 from ..ops.deform_attn import deform_attn_single_level
 from ..ops.sampling import make_sample_points
-from .conv_gru import RadarBEVTemporalEncoder
 from .positional import LearnedPositionalEncoding2D
 
 
@@ -34,6 +33,34 @@ def radial_offsets(query_feat, ray_offset_dense, d_region, depth_num):
     return lin[None, None, :] + shift
 
 
+class BEVValueProj(nn.Module):
+    """Loop-invariant half of the BEV deformable attention: positional
+    encoding + value projection. With the 6 decoder iterations sharing
+    weights, this is identical every iteration — computed once before the
+    scan and passed in as a broadcast arg."""
+
+    embed_dims: int = 256
+    num_heads: int = 4
+    spatial_shape: tuple = (128, 128)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, bev_feats):
+        """bev_feats: [B, T, H, W, C] -> value [B*T, H, W, M, c] (bf16)."""
+        B, T, H, W, C = bev_feats.shape
+        pos = LearnedPositionalEncoding2D(
+            self.embed_dims // 2,
+            rows=self.spatial_shape[0],
+            cols=self.spatial_shape[1],
+            dtype=self.dtype,
+            name="positional_encoding",
+        )(H, W)
+        v = nn.Dense(C, dtype=self.dtype, name="value_proj")(bev_feats + pos[None, None])
+        # bf16 for the bandwidth-bound bilinear gather (f32 resumes after)
+        M = self.num_heads
+        return v.astype(jnp.bfloat16).reshape(B * T, H, W, M, C // M)
+
+
 class BEVCrossFrameAttention(nn.Module):
     """Deformable attention over the temporal BEV queue with queue weighting."""
 
@@ -45,20 +72,17 @@ class BEVCrossFrameAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, value, loc, weights, train: bool = False):
-        """query: [B, Q, C]; value: [B, T, H, W, C];
-        loc: [B, Q, M, T, P, 2] in [0, 1]; weights: [B, Q, M, T, P]."""
-        B, T, H, W, C = value.shape
-        Q = query.shape[1]
+        """query: [B, Q, C]; value: [B*T, H, W, M, c] pre-projected
+        (:class:`BEVValueProj`); loc: [B, Q, M, T, P, 2] in [0, 1];
+        weights: [B, Q, M, T, P]."""
+        B, Q, C = query.shape
+        T = self.num_frames
         M = self.num_heads
-        c = C // M
 
-        v = nn.Dense(C, dtype=self.dtype, name="value_proj")(value)
-        # bf16 for the bandwidth-bound bilinear gather (f32 resumes after)
-        v = v.astype(jnp.bfloat16).reshape(B * T, H, W, M, c)
         l = loc.transpose(0, 3, 1, 2, 4, 5).reshape(B * T, Q, M, -1, 2)
         w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
 
-        out = deform_attn_single_level(v, l, w)  # [B*T, Q, C]
+        out = deform_attn_single_level(value, l, w)  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
         qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
@@ -78,21 +102,18 @@ class BEVSampling(nn.Module):
     depth_num: int = 5
     pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     spatial_shape: tuple = (128, 128)
-    temp_radar: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, query_ray, query_feat, bev_feats, time_diff, d_region, train: bool = False):
+    def __call__(self, query_ray, query_feat, bev_value, time_diff, d_region, train: bool = False):
         """query_ray: [B, Q, 10] polar; query_feat: [B, Q, C];
-        bev_feats: [B, T, H, W, C]; time_diff: [B, T]; d_region: scalar."""
-        if self.temp_radar:
-            bev_feats = RadarBEVTemporalEncoder(
-                self.embed_dims, dtype=self.dtype, name="temporal_encoder"
-            )(bev_feats)
-
+        bev_value: [B*T, H, W, M, c] pre-projected values
+        (:class:`BEVValueProj`, hoisted out of the weight-shared iteration
+        loop together with the radar temporal encoder); time_diff: [B, T];
+        d_region: scalar."""
         B, Q, _ = query_ray.shape
         T, M, P, D = self.num_frames, self.num_heads, self.num_points, self.depth_num
-        H, W = bev_feats.shape[2], bev_feats.shape[3]
+        H, W = bev_value.shape[1], bev_value.shape[2]
 
         query_bbox = theta_d_to_xy(query_ray)
 
@@ -137,19 +158,10 @@ class BEVSampling(nn.Module):
         w = jax.nn.softmax(w, axis=-1)
         w = jnp.broadcast_to(w, (B, Q, M, T, D * P))
 
-        pos = LearnedPositionalEncoding2D(
-            self.embed_dims // 2,
-            rows=self.spatial_shape[0],
-            cols=self.spatial_shape[1],
-            dtype=self.dtype,
-            name="positional_encoding",
-        )(H, W)
-        value = bev_feats + pos[None, None]
-
         return BEVCrossFrameAttention(
             self.embed_dims,
             self.num_heads,
             self.num_frames,
             dtype=self.dtype,
             name="attention",
-        )(query_feat, value, loc, w, train=train)
+        )(query_feat, bev_value, loc, w, train=train)

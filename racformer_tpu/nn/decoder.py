@@ -115,14 +115,14 @@ class RaCFormerDecoderLayer(nn.Module):
         q_radar = BEVSampling(
             self.embed_dims, self.num_frames, 4, self.num_points_bev,
             self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
-            temp_radar=True, dtype=self.dtype, name="sampling_radar_bev",
+            dtype=self.dtype, name="sampling_radar_bev",
         )(query_bbox, query_feat, radar_bev, time_diff, d_region, train=train)
         q_radar = nn.LayerNorm(dtype=self.dtype, name="norm_radar_bev")(q_radar)
 
         q_lss = BEVSampling(
             self.embed_dims, self.num_frames, 4, self.num_points_bev,
             self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
-            temp_radar=False, dtype=self.dtype, name="sampling_lss_bev",
+            dtype=self.dtype, name="sampling_lss_bev",
         )(query_bbox, query_feat, lss_bev, time_diff, d_region, train=train)
         q_lss = nn.LayerNorm(dtype=self.dtype, name="norm_lss_bev")(q_lss)
 
@@ -181,10 +181,35 @@ class RaCFormerDecoder(nn.Module):
     @nn.compact
     def __call__(self, query_bbox, query_feat, mlvl_feats, lss_bev, radar_bev,
                  attn_mask, lidar2img, time_diff):
-        """Returns (cls_scores [Lyr, B, Q, cls], bbox_preds [Lyr, B, Q, 10])."""
+        """Returns (cls_scores [Lyr, B, Q, cls], bbox_preds [Lyr, B, Q, 10]).
+
+        lss_bev / radar_bev: [B, T, H, W, C] raw BEV maps. Loop-invariant work
+        (radar ConvGRU temporal encoding, positional encoding, deform-attn
+        value projections) runs ONCE here — the reference recomputes all of it
+        inside every weight-shared iteration (`racformer_transformer.py:
+        248-251,484-485,532-537`), 6x the cost for bit-identical results.
+        """
         cfg = dict(self.layer_cfg or {})
         cfg.setdefault("dtype", self.dtype)
         cfg["train_mode"] = self.train_mode
+        embed_dims = cfg.get("embed_dims", 256)
+        bev_shape = cfg.get("bev_spatial_shape", (128, 128))
+
+        from .conv_gru import RadarBEVTemporalEncoder
+        from .bev_sampling import BEVValueProj
+
+        radar_bev = RadarBEVTemporalEncoder(
+            embed_dims, dtype=self.dtype,
+            name="sampling_radar_bev_temporal_encoder",
+        )(radar_bev)
+        radar_value = BEVValueProj(
+            embed_dims, 4, bev_shape, dtype=self.dtype,
+            name="sampling_radar_bev_value",
+        )(radar_bev)
+        lss_value = BEVValueProj(
+            embed_dims, 4, bev_shape, dtype=self.dtype,
+            name="sampling_lss_bev_value",
+        )(lss_bev)
 
         scan = nn.scan(
             RaCFormerDecoderLayer,
@@ -198,7 +223,7 @@ class RaCFormerDecoder(nn.Module):
         d_regions = jnp.asarray(self.d_region_list[: self.num_layers], jnp.float32)
         carry = (query_bbox, query_feat)
         _, (cls_scores, bbox_preds) = scan(name="layer", **cfg)(
-            carry, d_regions, mlvl_feats, lss_bev, radar_bev, attn_mask,
+            carry, d_regions, mlvl_feats, lss_value, radar_value, attn_mask,
             lidar2img, time_diff,
         )
         return jnp.nan_to_num(cls_scores), jnp.nan_to_num(bbox_preds)
