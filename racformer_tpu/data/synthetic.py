@@ -82,7 +82,12 @@ class SyntheticDataset:
             gt_bboxes=gt,
             gt_labels=gt_labels,
             gt_mask=gt_mask,
-            gt_depth=rng.uniform(0, 60, size=(N, H, W)).astype(np.float32),
+            # sparse lidar-like depth: ~5% of pixels hit, rest 0 (a dense
+            # uniform map would min-pool below d_lo and kill the depth loss)
+            gt_depth=(
+                rng.uniform(2, 60, size=(N, H, W))
+                * (rng.uniform(size=(N, H, W)) < 0.05)
+            ).astype(np.float32),
         )
 
     def batch(self, indices):

@@ -57,3 +57,30 @@ def msmv_sample(
     for l in range(1, len(mlvl_feats)):
         acc = acc + sample_level(mlvl_feats[l], weights[..., l])
     return acc
+
+
+def msmv_sample_v2(
+    mlvl_feats: Sequence[jax.Array],
+    loc: jax.Array,
+    weights: jax.Array,
+) -> jax.Array:
+    """Argmax-level variant: sample only the level with the largest weight
+    instead of the weighted sum (`msmv_sampling_pytorch_v2`,
+    `/root/reference/models/csrc/wrapper.py:41-76`; unused by the default
+    path but part of the op surface). Same shapes as :func:`msmv_sample`."""
+    N = mlvl_feats[0].shape[1]
+    x_norm = loc[..., 0]
+    y_norm = loc[..., 1]
+    view = jnp.round(loc[..., 2] * (N - 1)).astype(jnp.int32)
+    view = jnp.clip(view, 0, N - 1)
+    best = jnp.argmax(weights, axis=-1)  # [S, Q, P]
+
+    out = None
+    for l, feat_l in enumerate(mlvl_feats):
+        H, W = feat_l.shape[2], feat_l.shape[3]
+        s = jax.vmap(bilinear_sample_views_nhwc)(
+            feat_l, view, x_norm * (W - 1), y_norm * (H - 1)
+        )
+        sel = (best == l)[..., None].astype(s.dtype)
+        out = s * sel if out is None else out + s * sel
+    return out

@@ -7,17 +7,17 @@ focal classification cost (w 2.0), code-weighted 10-dim L1 regression cost
 (w 0.25), and wrap-around angular ThetaL1 cost (w 3.0).
 
 TPU design: costs are computed in-graph over a static [Q, max_gt] matrix
-(invalid GT columns get a large constant so they can't affect valid matches);
-only the `linear_sum_assignment` itself runs host-side through
-`jax.pure_callback` (the reference also syncs to CPU scipy per sample,
-`polar_hungarian_assigner_3d.py:77-88`).
+(invalid GT columns get a large constant so they can't affect valid matches),
+and the assignment itself is an in-graph Jonker-Volgenant Hungarian
+(:func:`_lap_single`) — the reference syncs to CPU scipy per (layer x sample)
+(`polar_hungarian_assigner_3d.py:77-88`), a serialization point SURVEY.md §3.1
+flags, and this TPU runtime does not support host callbacks at all.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.bbox_codec import normalize_bbox
 
@@ -56,27 +56,92 @@ def match_cost(cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_mask,
     return jnp.where(gt_mask[None, :], cost, BIG)
 
 
-def _lsa_host(cost: np.ndarray) -> np.ndarray:
-    """cost: [S, Q, G] -> matched query index per GT column [S, G]."""
-    from scipy.optimize import linear_sum_assignment
+_INF = 1.0e18
 
-    S, Q, G = cost.shape
-    out = np.zeros((S, G), np.int32)
-    for s in range(S):
-        rows, cols = linear_sum_assignment(cost[s])
-        out[s, cols] = rows.astype(np.int32)
-    return out
+
+def _lap_single(cost_gq: jax.Array) -> jax.Array:
+    """Exact linear assignment for one [G, Q] cost matrix (G <= Q).
+
+    Jonker-Volgenant shortest-augmenting-path Hungarian (the e-maxx
+    formulation with a virtual column 0), expressed with bounded
+    `lax.while_loop`s so it runs fully in-graph. This replaces the
+    reference's host-side scipy `linear_sum_assignment`
+    (`polar_hungarian_assigner_3d.py:77-88`): the TPU runtime here does not
+    support host callbacks, and in-graph matching also removes the
+    per-step device->host sync. Returns matched query index per GT row [G].
+    """
+    G, Q = cost_gq.shape
+    # columns are 1..Q (queries), column 0 is the virtual root; rows 1..G
+    cost = jnp.pad(cost_gq, ((1, 0), (1, 0)))  # [G+1, Q+1]
+
+    def augment_row(i, carry):
+        u, v, p = carry  # u: [G+1], v: [Q+1], p: [Q+1] col -> row
+
+        p = p.at[0].set(i)
+        minv = jnp.full(Q + 1, _INF)
+        way = jnp.zeros(Q + 1, jnp.int32)
+        used = jnp.zeros(Q + 1, bool)
+
+        def dijkstra_cond(st):
+            _, _, _, _, j0, p_, _ = st
+            return p_[j0] != 0
+
+        def dijkstra_body(st):
+            u_, v_, minv_, way_, j0, p_, used_ = st
+            used_ = used_.at[j0].set(True)
+            i0 = p_[j0]
+            cur = cost[i0] - u_[i0] - v_
+            better = (~used_) & (cur < minv_)
+            minv_ = jnp.where(better, cur, minv_)
+            way_ = jnp.where(better, j0, way_)
+            masked = jnp.where(used_, _INF, minv_)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # potentials: u[p[j]] += delta and v[j] -= delta for used columns
+            # j; minv[j] -= delta for the rest
+            add_u = jax.ops.segment_sum(
+                jnp.where(used_, delta, 0.0), p_, num_segments=G + 1
+            )
+            u_ = u_ + add_u
+            v_ = v_ - jnp.where(used_, delta, 0.0)
+            minv_ = jnp.where(used_, minv_, minv_ - delta)
+            return (u_, v_, minv_, way_, j1, p_, used_)
+
+        st = (u, v, minv, way, jnp.int32(0), p, used)
+        u, v, minv, way, j0, p, used = jax.lax.while_loop(
+            dijkstra_cond, dijkstra_body, st
+        )
+
+        def aug_cond(st):
+            j0_, _ = st
+            return j0_ != 0
+
+        def aug_body(st):
+            j0_, p_ = st
+            j1 = way[j0_]
+            p_ = p_.at[j0_].set(p_[j1])
+            return (j1, p_)
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        return (u, v, p)
+
+    u0 = jnp.zeros(G + 1)
+    v0 = jnp.zeros(Q + 1)
+    p0 = jnp.zeros(Q + 1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(1, G + 1, augment_row, (u0, v0, p0))
+
+    # invert: row i (1..G) -> column j with p[j] == i
+    cols = jnp.arange(Q + 1)
+    match = jax.ops.segment_sum(
+        cols * (p > 0), p, num_segments=G + 1
+    )  # each row matched exactly once
+    return (match[1:] - 1).astype(jnp.int32)  # 0-based query index
 
 
 def hungarian_assign(cost: jax.Array) -> jax.Array:
-    """cost: [..., Q, G] -> matched query per GT [..., G] (host scipy)."""
+    """cost: [..., Q, G] -> matched query per GT [..., G] (exact, in-graph)."""
     batch_shape = cost.shape[:-2]
     Q, G = cost.shape[-2:]
-    flat = cost.reshape(-1, Q, G)
-    out = jax.pure_callback(
-        _lsa_host,
-        jax.ShapeDtypeStruct((flat.shape[0], G), jnp.int32),
-        jax.lax.stop_gradient(flat),
-        vmap_method="sequential",
-    )
+    flat = jax.lax.stop_gradient(cost).reshape(-1, Q, G)
+    out = jax.vmap(lambda c: _lap_single(c.T))(flat.astype(jnp.float32))
     return out.reshape(*batch_shape, G)

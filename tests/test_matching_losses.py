@@ -89,3 +89,19 @@ def test_detection_loss_runs(rng):
     # perfect-background case: zero GT still finite
     losses0 = detection_loss(outs, gt, labels, jnp.zeros_like(mask))
     assert np.isfinite(float(losses0["loss_total"]))
+
+
+def test_hungarian_optimal_cost_randomized(rng):
+    """The in-graph JV solver must achieve scipy's optimal total cost on many
+    random instances (allowing tied alternative assignments)."""
+    for trial in range(20):
+        Q = int(rng.integers(4, 40))
+        G = int(rng.integers(1, min(Q, 12) + 1))
+        cost = rng.normal(size=(Q, G)).astype(np.float32) * 10
+        got = np.asarray(hungarian_assign(jnp.asarray(cost[None])))[0]
+        rows, cols = linear_sum_assignment(cost)
+        want_total = cost[rows, cols].sum()
+        # matched queries must be distinct and achieve the optimal cost
+        assert len(set(got.tolist())) == G
+        got_total = cost[got, np.arange(G)].sum()
+        np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-4)

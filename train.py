@@ -30,13 +30,26 @@ def parse_args():
                    help="train on the synthetic dataset (no nuScenes needed)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true",
+                   help="track EMA weights (MEGVIIEMAHook equivalent)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
 
+    import os as _os
+
     import jax
+
+    # the container's sitecustomize force-registers the axon TPU platform;
+    # honor an explicit JAX_PLATFORMS/RACFORMER_PLATFORM env override (the env
+    # var alone is ignored once the backend is registered)
+    plat = _os.environ.get("RACFORMER_PLATFORM") or _os.environ.get("JAX_PLATFORMS")
+    if plat and plat != "axon":
+        jax.config.update("jax_platforms", plat.split(",")[0])
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -150,6 +163,16 @@ def main():
     logger = MetricLogger(work_dir, total_steps=total_steps)
     rng = jax.random.PRNGKey(args.seed + 17)
 
+    ema_params = None
+    ema_step = None
+    if args.ema:
+        from racformer_tpu.train.hooks import ema_update
+
+        # deep-copy: device_put would alias state.params, whose buffers the
+        # donated train step frees
+        ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        ema_step = jax.jit(ema_update, donate_argnums=(0,))
+
     order = np.random.default_rng(args.seed).permutation(len(dataset))
     for step in range(start_step, total_steps):
         epoch = step // steps_per_epoch
@@ -165,10 +188,17 @@ def main():
             state, batch, jax.device_put(sub, repl),
             jnp.asarray(curriculum.weight(epoch), jnp.float32),
         )
+        if ema_params is not None:
+            ema_params = ema_step(ema_params, state.params, jnp.float32(step))
         logger.log_step(step, jax.device_get(metrics), lr=float(sched(step)))
 
         if (step + 1) % steps_per_epoch == 0 or step == total_steps - 1:
             ckpt.save(step + 1, jax.device_get(state))
+            if ema_params is not None:
+                import pickle as _pkl
+
+                with open(os.path.join(work_dir, "ema_params.pkl"), "wb") as f:
+                    _pkl.dump(jax.device_get(ema_params), f)
 
     print("training done")
 

@@ -35,7 +35,18 @@ def parse_args():
 def main():
     args = parse_args()
 
+    import os as _os
+
     import jax
+
+    # the container's sitecustomize force-registers the axon TPU platform;
+    # honor an explicit JAX_PLATFORMS/RACFORMER_PLATFORM env override (the env
+    # var alone is ignored once the backend is registered)
+    plat = _os.environ.get("RACFORMER_PLATFORM") or _os.environ.get("JAX_PLATFORMS")
+    if plat and plat != "axon":
+        jax.config.update("jax_platforms", plat.split(",")[0])
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from racformer_tpu.config import Config
