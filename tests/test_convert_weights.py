@@ -57,3 +57,65 @@ def test_backbone_conversion_numerics(rng):
         x,
     )
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_detector_conversion_subset(rng):
+    """Representative detector-module keys land in the right flax leaves with
+    the right layout transforms."""
+    from tests.test_model_forward import make_model, tiny_batch
+    from racformer_tpu.model import preprocess_images
+
+    batch, _ = tiny_batch(rng)
+    model = make_model(train=False)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), preprocess_images(jnp.asarray(batch["imgs"])),
+        *[jnp.asarray(batch[k]) for k in (
+            "radar_points", "radar_mask", "radar_depth", "radar_rcs",
+            "lidar2img", "img2lidar", "time_diff")],
+    )
+    p = variables["params"]
+    C = 64  # tiny embed dims
+    r = np.random.default_rng(3)
+
+    def t_lin(flax_leaf):  # flax [in,out] -> torch [out,in]
+        return r.normal(size=np.asarray(flax_leaf).shape[::-1]).astype(np.float32)
+
+    def t_conv(flax_leaf):  # flax HWIO -> torch OIHW
+        h, w, i, o = np.asarray(flax_leaf).shape
+        return r.normal(size=(o, i, h, w)).astype(np.float32)
+
+    L = p["pts_bbox_head"]["decoder"]["layer"]
+    sd = {
+        "radar_voxel_encoder.pfn_layers.0.linear.weight":
+            t_lin(p["radar_encoder"]["pfn_linear"]["kernel"]),
+        "radar_bev_conv.0.conv.weight":
+            t_conv(p["radar_encoder"]["conv1"]["conv"]["kernel"]),
+        "img_lss_view_transformer.depth_net.dep_proj.weight":
+            t_conv(p["img_lss_view_transformer"]["depth_net"]["dep_proj"]["kernel"]),
+        "pts_bbox_head.transformer.decoder.decoder_layer.fusion.weight":
+            t_lin(L["fusion"]["kernel"]),
+        "pts_bbox_head.transformer.decoder.decoder_layer.cls_branch.6.bias":
+            r.normal(size=(10,)).astype(np.float32),
+        "pts_bbox_head.transformer.decoder.decoder_layer.self_attn.attention.attn.in_proj_weight":
+            r.normal(size=(3 * C, C)).astype(np.float32),
+        "pts_bbox_head.transformer.decoder.decoder_layer.sampling_radar_bev.attention.value_proj.weight":
+            t_lin(p["pts_bbox_head"]["decoder"]["sampling_radar_bev_value"]["value_proj"]["kernel"]),
+        "pts_bbox_head.transformer.decoder.decoder_layer.sampling_radar_bev.temporal_encoder.convGRU.convGRUCell.gates_conv.weight":
+            t_conv(p["pts_bbox_head"]["decoder"]["sampling_radar_bev_temporal_encoder"]["gru"]["cell"]["gates"]["kernel"]),
+        "pts_bbox_head.init_query_bbox.weight":
+            r.normal(size=np.asarray(p["pts_bbox_head"]["init_query_bbox"]).shape).astype(np.float32),
+    }
+
+    converted, unmatched = convert_state_dict(sd, variables, strict=True)
+    assert unmatched == [], unmatched
+    cp = converted["params"]
+    np.testing.assert_allclose(
+        cp["radar_encoder"]["pfn_linear"]["kernel"],
+        sd["radar_voxel_encoder.pfn_layers.0.linear.weight"].T, atol=1e-6)
+    np.testing.assert_allclose(
+        cp["pts_bbox_head"]["decoder"]["layer"]["self_attn"]["q_proj"]["kernel"],
+        sd["pts_bbox_head.transformer.decoder.decoder_layer.self_attn.attention.attn.in_proj_weight"][:C].T,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        cp["pts_bbox_head"]["init_query_bbox"],
+        sd["pts_bbox_head.init_query_bbox.weight"], atol=1e-6)
