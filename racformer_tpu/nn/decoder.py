@@ -211,8 +211,14 @@ class RaCFormerDecoder(nn.Module):
             name="sampling_lss_bev_value",
         )(lss_bev)
 
+        # remat the scanned layer: without it the scan saves every iteration's
+        # intermediates for backward (the gathered deform-attn samples alone
+        # are ~24 GB at flagship train shapes); the reference equivalently
+        # wraps each decoder sub-module in torch activation checkpointing
+        # (`racformer_transformer.py:317-321,423-427,542-546,612-616`)
+        layer_cls = nn.remat(RaCFormerDecoderLayer, prevent_cse=False)
         scan = nn.scan(
-            RaCFormerDecoderLayer,
+            layer_cls,
             variable_broadcast="params",
             variable_axes={"intermediates": 0},  # per-iteration DUMP capture
             split_rngs={"params": False, "dropout": True},

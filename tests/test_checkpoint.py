@@ -1,0 +1,43 @@
+"""Checkpoint save/verify/restore roundtrip + revise_keys."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from racformer_tpu.train import TrainState
+from racformer_tpu.train.checkpoint import CheckpointManager, apply_revise_keys
+
+
+def test_save_restore_roundtrip(tmp_path, rng):
+    params = {"dense": {"kernel": jnp.asarray(rng.normal(size=(4, 8)), jnp.float32),
+                        "bias": jnp.zeros((8,))}}
+    state = TrainState(params, {}, {"count": jnp.zeros(())},
+                       jnp.asarray(7, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path), max_keep=2, verify=True)
+    mgr.save(1, state)
+    mgr.save(2, state._replace(step=jnp.asarray(8, jnp.int32)))
+
+    restored = mgr.restore_latest(state)
+    assert restored is not None
+    step, st = restored
+    assert step == 2
+    assert int(st.step) == 8
+    np.testing.assert_allclose(st.params["dense"]["kernel"],
+                               params["dense"]["kernel"], atol=1e-7)
+
+
+def test_max_keep(tmp_path, rng):
+    params = {"w": jnp.ones((2, 2))}
+    state = TrainState(params, {}, {}, jnp.zeros((), jnp.int32))
+    mgr = CheckpointManager(str(tmp_path), max_keep=2, verify=False)
+    for s in range(1, 5):
+        mgr.save(s, state)
+    mgr.mgr.wait_until_finished()
+    assert sorted(mgr.mgr.all_steps()) == [3, 4]
+
+
+def test_revise_keys_on_tree_paths():
+    flat = {"backbone/conv1/kernel": 1, "neck/fpn0/kernel": 2}
+    out = apply_revise_keys(flat, [("backbone", "img_backbone")])
+    assert "img_backbone/conv1/kernel" in out
+    assert "neck/fpn0/kernel" in out

@@ -61,7 +61,19 @@ def main():
 
     max_samples = args.max_samples or cfg.get("max_samples")
     ann = cfg.data["val"]["ann_file"]
-    if args.synthetic or not os.path.exists(ann):
+    is_vod = cfg.get("dataset_type") == "vod"
+    if is_vod and os.path.exists(ann) and not args.synthetic:
+        from racformer_tpu.data.vod import VoDDataset
+
+        dataset = VoDDataset(
+            ann,
+            data_root=os.path.dirname(os.path.dirname(ann)),
+            image_hw=model.image_hw,
+            max_radar_points=cfg.radar["max_points"],
+            max_gt=model.max_gt,
+            max_samples=max_samples,
+        )
+    elif args.synthetic or not os.path.exists(ann):
         dataset = SyntheticDataset(
             num_samples=max_samples or 8,
             num_cams=model.num_cams,
@@ -157,8 +169,22 @@ def main():
     print(f"eval: {num} samples, {fps:.2f} samples/s")
 
     if gts:
-        metrics = nuscenes_metrics(preds, gts,
-                                   front_only=bool(cfg.get("eval_front_only", False)))
+        if is_vod:
+            from racformer_tpu.eval.kitti_eval import kitti_vod_metrics
+
+            vp = [
+                {"bboxes": p["bboxes"][p["valid"]][:, :7],
+                 "scores": p["scores"][p["valid"]],
+                 "labels": p["labels"][p["valid"]]}
+                for p in preds
+            ]
+            vg = [{"bboxes": g["bboxes"][g["mask"], :7],
+                   "labels": g["labels"][g["mask"]]} for g in gts]
+            metrics = kitti_vod_metrics(vp, vg)
+        else:
+            metrics = nuscenes_metrics(
+                preds, gts, front_only=bool(cfg.get("eval_front_only", False))
+            )
         print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}, indent=2))
 
 
