@@ -111,6 +111,18 @@ class NuScenesRadarDataset:
             idx += interval
         return frames
 
+    def _rasterize_radar(self, pts, lidar2img, hw):
+        """Radar depth/RCS column maps; native C++ rasterizer when built."""
+        from . import native
+
+        if native.available() and len(pts):
+            from .depth_maps import project_to_image
+
+            u, v, d = project_to_image(pts[:, :3], lidar2img)
+            uvdr = np.stack([u, v, d, pts[:, 3]], 1).astype(np.float32)
+            return native.radar_columns(uvdr, hw)
+        return radar_to_depth_rcs_maps(pts, lidar2img, hw)
+
     def _load_image(self, path: str) -> np.ndarray:
         # BGR order to match the reference's cv2 loading (the model's
         # preprocessing converts BGR -> RGB on device). Uses the native
@@ -156,7 +168,7 @@ class NuScenesRadarDataset:
                 timestamps[t, c] = ci.get("timestamp", fr.get("timestamp", 0)) / 1e6
                 if "data_path" in ci and ci["data_path"]:
                     imgs[t, c] = apply_image_aug(self._load_image(ci["data_path"]), aug)
-                rd, rr = radar_to_depth_rcs_maps(pts, m, (H, W))
+                rd, rr = self._rasterize_radar(pts, m, (H, W))
                 radar_depth[t, c] = rd
                 radar_rcs[t, c] = rr
 

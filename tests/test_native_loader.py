@@ -74,3 +74,22 @@ def test_radar_columns_nearest_wins(rng):
     assert (rcs[:, 10] == 2.5).all()
     assert (depth[:, 11] == 0).all()
     assert (rcs[:, 11] == -1000.0).all()
+
+
+def test_radar_columns_matches_numpy(rng):
+    """Native rasterizer agrees with the numpy reference path."""
+    from racformer_tpu.data.depth_maps import project_to_image, radar_to_depth_rcs_maps
+
+    l2i = np.eye(4, dtype=np.float32)
+    l2i[0, 0] = l2i[1, 1] = 120.0
+    l2i[0, 2], l2i[1, 2] = 60.0, 30.0
+    pts = np.concatenate(
+        [rng.uniform(-5, 5, size=(200, 2)), rng.uniform(1, 50, size=(200, 1)),
+         rng.uniform(-10, 10, size=(200, 1))], axis=1).astype(np.float32)
+    # camera looks +z: project (x, y, z)
+    want_d, want_r = radar_to_depth_rcs_maps(pts, l2i, (60, 120))
+    u, v, d = project_to_image(pts[:, :3], l2i)
+    uvdr = np.stack([u, v, d, pts[:, 3]], 1).astype(np.float32)
+    got_d, got_r = native.radar_columns(uvdr, (60, 120))
+    np.testing.assert_allclose(got_d, want_d, atol=1e-4)
+    np.testing.assert_allclose(got_r, want_r, atol=1e-4)
