@@ -88,3 +88,62 @@ def test_adaptive_mixing_matches_torch(rng):
     out = out.reshape(B, Q, -1)
     want = (tq + out @ torch.from_numpy(op_w) + torch.from_numpy(op_b)).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_conv_gru_semantics(rng):
+    """ConvGRU structural semantics (`racformer_transformer.py:665-720`):
+    frames t >= min(4, T) emit the zero state; gate math matches a torch
+    oracle for the first step."""
+    from racformer_tpu.nn.conv_gru import ConvGRU
+
+    B, T, H, W, C = 1, 6, 8, 8, 4
+    x = rng.normal(size=(B, T, H, W, C)).astype(np.float32)
+    mod = ConvGRU(hidden=C, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert out.shape == (B, T, H, W, C)
+    # frames 4, 5 are the zero initial state
+    np.testing.assert_allclose(out[:, 4:], 0.0, atol=1e-7)
+
+    # torch oracle for step 0 (h_prev = 0)
+    p = params["params"]["cell"]
+    wm = np.asarray(p["matching"]["kernel"])  # [1,1,C,C]
+    bm = np.asarray(p["matching"]["bias"])
+    wg = np.asarray(p["gates"]["kernel"])  # [3,3,2C,3C]
+    bg = np.asarray(p["gates"]["bias"])
+    tx = torch.from_numpy(x[0, 0]).permute(2, 0, 1)[None]
+    h0 = torch.zeros_like(tx)
+    hm = F.conv2d(h0, torch.from_numpy(wm).permute(3, 2, 0, 1), torch.from_numpy(bm))
+    comb = torch.cat([tx, hm], 1)
+    gates = F.conv2d(comb, torch.from_numpy(wg).permute(3, 2, 0, 1),
+                     torch.from_numpy(bg), padding=1)
+    z, r, cand = gates.split(C, dim=1)
+    z, r = torch.sigmoid(z), torch.sigmoid(r)
+    cand = torch.tanh(cand + r * h0)
+    want = ((1 - z) * h0 + z * cand)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(out[0, 0], want, rtol=2e-4, atol=2e-4)
+
+
+def test_intermediates_capture(rng):
+    """DUMP-equivalent sow capture: per-iteration tau + sample points."""
+    import pytest
+    from tests.test_model_forward import make_model, tiny_batch
+    from racformer_tpu.model import preprocess_images
+
+    batch, _ = tiny_batch(rng)
+    model = make_model(train=False)
+    args = [jnp.asarray(batch[k]) for k in (
+        "radar_points", "radar_mask", "radar_depth", "radar_rcs",
+        "lidar2img", "img2lidar", "time_diff")]
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), preprocess_images(jnp.asarray(batch["imgs"])), *args)
+    outs, inter = model.apply(
+        variables, preprocess_images(jnp.asarray(batch["imgs"])), *args,
+        mutable=["intermediates"])
+    flat = jax.tree_util.tree_leaves_with_path(inter["intermediates"])
+    names = {"/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat}
+    assert any("sasa_tau" in n for n in names)
+    assert any("sample_points" in n for n in names)
+    # per-iteration leading axis from the scan
+    taus = [v for path, v in flat if "sasa_tau" in str(path)]
+    assert taus[0].shape[0] == 6  # 6 decoder iterations
