@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ema", action="store_true",
                    help="track EMA weights (MEGVIIEMAHook equivalent)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host pod slice: initialize jax.distributed "
+                        "(run the same command on every host)")
     return p.parse_args()
 
 
@@ -60,6 +63,12 @@ def main():
     from racformer_tpu.train.checkpoint import CheckpointManager
     from racformer_tpu.train.hooks import DepthWeightCurriculum
     from racformer_tpu.utils import MetricLogger
+
+    if args.distributed:
+        # multi-host: DCN coordination comes from the TPU pod environment;
+        # afterwards jax.devices() spans all hosts and the single GSPMD mesh
+        # below covers the slice (the reference's torchrun/NCCL equivalent)
+        jax.distributed.initialize()
 
     cfg = Config.fromfile(args.config).merge_override(args.override)
     work_dir = args.work_dir or os.path.join(
@@ -160,8 +169,11 @@ def main():
 
     state = jax.device_put(state, repl)
     curriculum = DepthWeightCurriculum(start_epoch=18)
-    logger = MetricLogger(work_dir, total_steps=total_steps)
-    rng = jax.random.PRNGKey(args.seed + 17)
+    logger = MetricLogger(work_dir, total_steps=total_steps,
+                          rank=jax.process_index())
+    # rbg PRNG: dropout draws tens of millions of bits per step; threefry is
+    # measurably slower on TPU for that volume
+    rng = jax.random.key(args.seed + 17, impl="rbg")
 
     ema_params = None
     ema_step = None
@@ -174,15 +186,31 @@ def main():
         ema_step = jax.jit(ema_update, donate_argnums=(0,))
 
     order = np.random.default_rng(args.seed).permutation(len(dataset))
+    n_proc = jax.process_count()
+    local_batch = global_batch // n_proc
+    proc_off = jax.process_index() * local_batch
+
+    def put_batch(sample):
+        """Shard the host batch onto the mesh; on multi-host each process
+        contributes its local slice of the global batch (the deterministic
+        per-host sharding replacing DistributedGroupSampler)."""
+        out = {}
+        for k, v in sample.items():
+            if k == "token":
+                continue
+            if n_proc > 1:
+                out[k] = jax.make_array_from_process_local_data(shard, np.asarray(v))
+            else:
+                out[k] = jax.device_put(jnp.asarray(v), shard)
+        return out
+
     for step in range(start_step, total_steps):
         epoch = step // steps_per_epoch
-        idxs = [int(order[(step * global_batch + i) % len(dataset)]) for i in range(global_batch)]
-        sample = dataset.batch(idxs)
-        batch = {
-            k: jax.device_put(jnp.asarray(v), shard)
-            for k, v in sample.items()
-            if k != "token"
-        }
+        idxs = [
+            int(order[(step * global_batch + proc_off + i) % len(dataset)])
+            for i in range(local_batch)
+        ]
+        batch = put_batch(dataset.batch(idxs))
         rng, sub = jax.random.split(rng)
         state, metrics = jitted(
             state, batch, jax.device_put(sub, repl),
