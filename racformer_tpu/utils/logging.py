@@ -43,6 +43,7 @@ class MetricLogger:
         self.rank = rank
         self._t0 = time.time()
         self._last = self._t0
+        self._last_step = None
         self._tb = None
         self._jsonl = None
         if work_dir and rank == 0:
@@ -59,8 +60,10 @@ class MetricLogger:
             return
         if step % self.log_interval == 0:
             now = time.time()
-            it_time = (now - self._last) / max(self.log_interval, 1)
+            n_steps = (step - self._last_step) if self._last_step is not None else 1
+            it_time = (now - self._last) / max(n_steps, 1)
             self._last = now
+            self._last_step = step
             eta = (self.total_steps - step) * it_time if self.total_steps else 0
             parts = [f"step {step}"]
             if lr is not None:

@@ -46,3 +46,14 @@ def test_train_driver_synthetic(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "training done" in r.stdout
     assert (tmp_path / "wd" / "checkpoints").exists()
+
+
+@pytest.mark.slow
+def test_val_driver_streaming(tmp_path):
+    r = _run([
+        sys.executable, "val.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--streaming", "--max-samples", "2", "--override", *TINY,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "samples/s" in r.stdout

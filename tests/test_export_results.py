@@ -1,0 +1,35 @@
+import json
+
+import numpy as np
+
+from racformer_tpu.tools.export_results import (
+    to_nuscenes_results,
+    write_submission,
+    yaw_to_quaternion,
+)
+
+
+def test_quaternion():
+    q = yaw_to_quaternion(np.pi / 2)
+    np.testing.assert_allclose(q, [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], atol=1e-7)
+
+
+def test_submission_format(tmp_path, rng):
+    preds = [dict(
+        bboxes=rng.normal(size=(5, 9)).astype(np.float32),
+        scores=rng.uniform(size=5).astype(np.float32),
+        labels=rng.integers(0, 10, size=5),
+        valid=np.array([True, True, False, True, False]),
+    )]
+    p = write_submission(str(tmp_path / "sub.json"), ["tok0"], preds)
+    with open(p) as f:
+        sub = json.load(f)
+    assert sub["meta"]["use_radar"] is True
+    recs = sub["results"]["tok0"]
+    assert len(recs) == 3  # valid only
+    r0 = recs[0]
+    assert set(r0) == {"sample_token", "translation", "size", "rotation",
+                       "velocity", "detection_name", "detection_score",
+                       "attribute_name"}
+    b = preds[0]["bboxes"][0]
+    np.testing.assert_allclose(r0["translation"][2], b[2] + b[5] / 2, atol=1e-5)

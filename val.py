@@ -134,36 +134,63 @@ def main():
 
     ecfg = dict(cfg.get("eval_cfg", {}))
 
-    @jax.jit
-    def predict(b):
-        outs = model.apply(
-            variables, preprocess_images(b["imgs"]), *[b[k] for k in arg_keys[1:]]
-        )
-        return decode_boxes(
-            outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1],
-            max_num=ecfg.get("max_num", 300),
-            score_threshold=ecfg.get("score_threshold", 0.05),
-            post_center_range=tuple(ecfg.get(
-                "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
-        )
-
     preds, gts = [], []
     t_total, n = 0.0, 0
     num = len(dataset)
-    for i in range(num):
-        s = dataset[i]
-        b = {k: jnp.asarray(v)[None] for k, v in s.items() if k != "token"}
-        t0 = time.perf_counter()
-        out = predict(b)
-        jax.block_until_ready(out)
-        if i > 0:  # skip compile
-            t_total += time.perf_counter() - t0
-            n += 1
-        out = jax.device_get(out)
-        preds.append({k: v[0] for k, v in out.items()})
-        if "gt_bboxes" in s:
-            gts.append(dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
-                            mask=s["gt_mask"]))
+
+    if args.streaming:
+        # per-frame feature-cache path (the reference's simple_test_online,
+        # promoted to the primary FPS protocol)
+        from racformer_tpu.eval.streaming import StreamingEvaluator
+
+        ev = StreamingEvaluator(model, variables, eval_cfg=ecfg)
+        for i in range(num):
+            s = dataset[i]
+            frame = dict(
+                imgs=s["imgs"][0], radar_points=s["radar_points"][0],
+                radar_mask=s["radar_mask"][0], radar_depth=s["radar_depth"][0],
+                radar_rcs=s["radar_rcs"][0], lidar2img=s["lidar2img"][0],
+                img2lidar=s["img2lidar"][0], timestamp=float(i) * 0.5,
+            )
+            t0 = time.perf_counter()
+            out = ev.step(frame, blocking=False)
+            jax.block_until_ready(out)
+            if i > 0:
+                t_total += time.perf_counter() - t0
+                n += 1
+            out = jax.device_get(out)
+            preds.append({k: v[0] for k, v in out.items()})
+            if "gt_bboxes" in s:
+                gts.append(dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
+                                mask=s["gt_mask"]))
+    else:
+        @jax.jit
+        def predict(b):
+            outs = model.apply(
+                variables, preprocess_images(b["imgs"]), *[b[k] for k in arg_keys[1:]]
+            )
+            return decode_boxes(
+                outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1],
+                max_num=ecfg.get("max_num", 300),
+                score_threshold=ecfg.get("score_threshold", 0.05),
+                post_center_range=tuple(ecfg.get(
+                    "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
+            )
+
+        for i in range(num):
+            s = dataset[i]
+            b = {k: jnp.asarray(v)[None] for k, v in s.items() if k != "token"}
+            t0 = time.perf_counter()
+            out = predict(b)
+            jax.block_until_ready(out)
+            if i > 0:  # skip compile
+                t_total += time.perf_counter() - t0
+                n += 1
+            out = jax.device_get(out)
+            preds.append({k: v[0] for k, v in out.items()})
+            if "gt_bboxes" in s:
+                gts.append(dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
+                                mask=s["gt_mask"]))
 
     fps = n / t_total if t_total > 0 else 0.0
     print(f"eval: {num} samples, {fps:.2f} samples/s")
