@@ -183,7 +183,17 @@ def collect_camera_sweeps(tables: Tables, sample_token: str,
                           max_sweeps: int = 60) -> List[Dict]:
     """Walk the camera sample_data chains backwards, grouping the 6 cameras
     per sweep step (the reference stores up to 60 sweep dicts,
-    `loaders/nuscenes_dataset.py:184-205`)."""
+    `loaders/nuscenes_dataset.py:184-205`).
+
+    Each sweep camera carries a ready `lidar2img` that maps points in the
+    *current keyframe's* lidar frame into that sweep's camera — i.e. the
+    ego-motion compensation the reference applies via `compose_lidar2img`
+    (`loaders/pipelines/loading.py:15-38`):
+      lidar2img = viewpad @ cam_from_global(sweep) @ global_from_lidar(key).
+    """
+    lidar_sd = tables.sample_data[tables.sample_to_sd[sample_token]["LIDAR_TOP"]]
+    global_from_ref = tables.global_from_sensor(lidar_sd)
+
     heads = {}
     for ch in CAMERA_CHANNELS:
         tok = tables.sample_to_sd[sample_token].get(ch)
@@ -200,12 +210,17 @@ def collect_camera_sweeps(tables: Tables, sample_token: str,
             sd = tables.sample_data[sd["prev"]]
             heads[ch] = sd
             cs = tables.calibrated_sensor[sd["calibrated_sensor_token"]]
+            K = np.asarray(cs["camera_intrinsic"], np.float64)
+            viewpad = np.eye(4)
+            viewpad[:3, :3] = K
+            cam_from_global = tables.sensor_from_global(sd)
             step[ch] = dict(
                 data_path=os.path.join(tables.dataroot, sd["filename"]),
                 timestamp=sd["timestamp"],
-                sensor2ego=transform_matrix(cs["translation"], cs["rotation"]),
-                cam_intrinsic=np.asarray(cs["camera_intrinsic"]),
-                ego_pose=tables.ego_pose[sd["ego_pose_token"]],
+                cam_intrinsic=K,
+                lidar2img=(viewpad @ cam_from_global @ global_from_ref).astype(
+                    np.float32
+                ),
             )
         if done or len(step) < len(heads):
             break

@@ -124,3 +124,60 @@ def test_radar_aggregation_and_sweeps(tmp_path, rng):
     assert len(sweeps) == 2
     assert sweeps[0]["cams"]["CAM_FRONT"]["timestamp"] == 900_000
     assert sweeps[1]["cams"]["CAM_FRONT"]["timestamp"] == 800_000
+
+
+def test_infos_to_dataset_end_to_end(tmp_path, rng):
+    """Full chain: raw tables -> aggregated infos -> NuScenesRadarDataset
+    (with an actual JPEG decoded through the reader)."""
+    import pickle
+    from PIL import Image
+    from racformer_tpu.data import NuScenesRadarDataset
+
+    tables = _fabricate_tables(tmp_path, rng)
+
+    # drop a real JPEG for the keyframe camera path
+    img = (rng.uniform(0, 255, size=(64, 128, 3))).astype(np.uint8)
+    img_path = tmp_path / "cam0.jpg"
+    Image.fromarray(img).save(img_path, quality=95)
+
+    # build the info pkl the way gen_sweep_info.main does
+    cs = tables.calibrated_sensor["cs_cam"]
+    K = np.asarray(cs["camera_intrinsic"], np.float64)
+    viewpad = np.eye(4); viewpad[:3, :3] = K
+    info = dict(
+        token="samp0",
+        timestamp=1_000_000,
+        cams={"CAM_FRONT": dict(
+            data_path=str(img_path),
+            lidar2img=viewpad.astype(np.float32),  # identity extrinsics
+            timestamp=1_000_000,
+        )},
+        radar_points=aggregate_radar(tables, "samp0", nsweeps=2),
+        sweeps_cam=collect_camera_sweeps(tables, "samp0"),
+        gt_boxes=rng.normal(size=(3, 9)).astype(np.float32),
+        gt_labels=rng.integers(0, 10, size=(3,)),
+    )
+    # sweep cams now carry ego-compensated lidar2img from the tool
+    for sw in info["sweeps_cam"]:
+        for cam in sw["cams"].values():
+            assert cam["lidar2img"].shape == (4, 4)
+            cam["data_path"] = ""
+        sw["radar_points"] = info["radar_points"]
+
+    pkl = tmp_path / "infos_sweep.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": [info]}, f)
+
+    ds = NuScenesRadarDataset(
+        str(pkl), num_frames=2, frame_interval=1,
+        camera_types=("CAM_FRONT",), image_hw=(32, 64),
+        max_radar_points=16, max_gt=8, training=True,
+        ida_cfg=dict(resize_lim=(0.5, 0.5), final_dim=(32, 64),
+                     src_dim=(64, 128), rand_flip=False),
+    )
+    s = ds[0]
+    assert s["imgs"].shape == (2, 1, 32, 64, 3)
+    assert s["imgs"].max() > 0  # the JPEG actually decoded
+    assert s["radar_mask"][0].sum() == 4
+    assert s["gt_mask"].sum() == 3
+    assert np.isfinite(s["lidar2img"]).all()
