@@ -33,6 +33,25 @@ def init_logging(work_dir: Optional[str] = None, rank: int = 0) -> logging.Logge
     return logger
 
 
+def backup_code(work_dir: str, src_root: Optional[str] = None) -> None:
+    """Copy the framework's *.py sources into work_dir/backup, mirroring the
+    reference's `backup_code` (`/root/reference/utils.py:28-39`) so every run
+    records the exact code it ran with."""
+    import shutil
+
+    src_root = src_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(work_dir, "backup")
+    for dirpath, _, files in os.walk(src_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), src_root)
+                out = os.path.join(dst, rel)
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                shutil.copy2(os.path.join(dirpath, fn), out)
+
+
 class MetricLogger:
     def __init__(self, work_dir: Optional[str] = None, total_steps: int = 0,
                  log_interval: int = 50, tb_interval: int = 500, rank: int = 0):

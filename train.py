@@ -75,6 +75,12 @@ def main():
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
     )
     os.makedirs(work_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        from racformer_tpu.utils.logging import backup_code
+
+        backup_code(work_dir)
+        with open(os.path.join(work_dir, "config_dump.py"), "w") as f:
+            f.write(cfg.dump())
 
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices, ("data",))
