@@ -7,9 +7,15 @@ Measures the streaming eval path (frame-cache, the reference's
 measuring FPS"): per new sample, one 6-camera frame of trunk compute + the
 8-frame windowed decoder.
 
+Measurement method: the per-step cost is the SLOPE of total wall time between
+an N-step and a 2N-step chained run, each terminated by a host fetch of a
+scalar from the final output (the only reliable completion barrier on the
+axon dev tunnel — `block_until_ready` under-reports there, and each host
+fetch carries a large fixed latency that the slope cancels out).
+
 Baseline context: the reference repo records no throughput numbers
-(BASELINE.md); the working reference point for RaCFormer-class R50 streaming
-inference is ~4.5 FPS on 1xA100 PyTorch fp16. vs_baseline is against that.
+(BASELINE.md); the working reference point is ~4.5 FPS for RaCFormer-class
+R50 streaming inference on 1xA100 PyTorch fp16.
 """
 
 from __future__ import annotations
@@ -55,28 +61,30 @@ def main():
             timestamp=0.5 * t,
         )
 
-    # warm up: fill the window + trigger both compiles
-    for t in range(model.num_frames):
-        ev.step(frame(t), blocking=False)
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = ev.step(frame(i % model.num_frames), blocking=False)
+        # scalar host fetch = true completion barrier for the whole chain
+        float(jax.device_get(out["scores"][0, 0]))
+        return time.perf_counter() - t0
 
-    # blocking=False keeps results on device: the axon dev tunnel has ~0.5 s
-    # fixed D2H latency per transfer which real TPU deployments don't pay;
-    # per-frame outputs are 13 KB and stream back asynchronously in practice
-    iters = 20
-    t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = ev.step(frame(i % model.num_frames), blocking=False)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # warm up: fill window + compile both stages + one fetch
+    run(model.num_frames)
 
-    fps = 1.0 / dt
+    n = 8
+    t_n = run(n)
+    t_2n = run(2 * n)
+    per_step = max((t_2n - t_n) / n, 1e-6)
+
+    fps = 1.0 / per_step
     print(
         json.dumps(
             {
                 "metric": "streaming_eval_fps_per_chip",
                 "value": round(fps, 3),
-                "unit": "frames/s (6cam streaming, 8-frame window, v5e)",
+                "unit": "frames/s (6cam streaming, 8-frame window, v5e, slope-measured)",
                 "vs_baseline": round(fps / A100_REFERENCE_FPS, 3),
             }
         )

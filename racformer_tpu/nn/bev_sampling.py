@@ -56,9 +56,15 @@ class BEVValueProj(nn.Module):
             name="positional_encoding",
         )(H, W)
         v = nn.Dense(C, dtype=self.dtype, name="value_proj")(bev_feats + pos[None, None])
-        # bf16 for the bandwidth-bound bilinear gather (f32 resumes after)
+        # bf16 for the bandwidth-bound bilinear gather (f32 resumes after);
+        # head-major + zero-bordered so the scanned deform attention gathers
+        # patches from a canonical-layout operand with no per-iteration
+        # pad/transpose
+        from ..ops.bilinear import pad_for_sampling
+
         M = self.num_heads
-        return v.astype(jnp.bfloat16).reshape(B * T, H, W, M, C // M)
+        v = v.astype(jnp.bfloat16).reshape(B * T, H, W, M, C // M)
+        return pad_for_sampling(v.transpose(0, 3, 1, 2, 4))
 
 
 class BEVCrossFrameAttention(nn.Module):
@@ -72,9 +78,9 @@ class BEVCrossFrameAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, value, loc, weights, train: bool = False):
-        """query: [B, Q, C]; value: [B*T, H, W, M, c] pre-projected
-        (:class:`BEVValueProj`); loc: [B, Q, M, T, P, 2] in [0, 1];
-        weights: [B, Q, M, T, P]."""
+        """query: [B, Q, C]; value: [B*T, M, Hp, Wp, c] pre-projected,
+        head-major and zero-bordered (:class:`BEVValueProj`);
+        loc: [B, Q, M, T, P, 2] in [0, 1]; weights: [B, Q, M, T, P]."""
         B, Q, C = query.shape
         T = self.num_frames
         M = self.num_heads
@@ -82,7 +88,7 @@ class BEVCrossFrameAttention(nn.Module):
         l = loc.transpose(0, 3, 1, 2, 4, 5).reshape(B * T, Q, M, -1, 2)
         w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
 
-        out = deform_attn_single_level(value, l, w)  # [B*T, Q, C]
+        out = deform_attn_single_level(value, l, w, pre_padded=True)  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
         qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
@@ -111,9 +117,12 @@ class BEVSampling(nn.Module):
         (:class:`BEVValueProj`, hoisted out of the weight-shared iteration
         loop together with the radar temporal encoder); time_diff: [B, T];
         d_region: scalar."""
+        from ..ops.bilinear import PAD
+
         B, Q, _ = query_ray.shape
         T, M, P, D = self.num_frames, self.num_heads, self.num_points, self.depth_num
-        H, W = bev_value.shape[1], bev_value.shape[2]
+        # bev_value: [B*T, M, Hp, Wp, c] (padded head-major)
+        H, W = bev_value.shape[2] - 2 * PAD, bev_value.shape[3] - 2 * PAD
 
         query_bbox = theta_d_to_xy(query_ray)
 

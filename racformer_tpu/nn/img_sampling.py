@@ -40,6 +40,7 @@ class ImageRadialSampling(nn.Module):
         time_diff: jax.Array,
         image_hw: tuple,
         d_region,
+        pre_padded: bool = False,
     ) -> jax.Array:
         """query_ray: [B, Q, 10] polar; mlvl_feats: L x [B, T, G, N, H, W, C];
         lidar2img: [B, T, N, 4, 4]; time_diff: [B, T]. Returns [B, Q, G, T*P*D, c]."""
@@ -102,5 +103,6 @@ class ImageRadialSampling(nn.Module):
         w = jax.nn.softmax(w, axis=-1)
 
         return sample_image_features(
-            sample_points, mlvl_feats, w, lidar2img, image_hw[0], image_hw[1]
+            sample_points, mlvl_feats, w, lidar2img, image_hw[0], image_hw[1],
+            pre_padded=pre_padded,
         )

@@ -61,45 +61,73 @@ def bilinear_sample_nhwc(
     return top * (1 - wy) + bot * wy
 
 
+PAD = 2  # zero border used by the patch-gather (see bilinear_sample_views_nhwc)
+
+
+def pad_for_sampling(feat: jax.Array) -> jax.Array:
+    """Zero-pad the two spatial axes (..., H, W, C) by the sampling border and
+    pin the result to a canonical layout. Hoist this OUT of loops: profiling
+    shows XLA otherwise fuses the pad into each gather with a twisted operand
+    layout ({4,1,0,3,2}) that makes every 2x2 patch fetch strided."""
+    pads = [(0, 0)] * (feat.ndim - 3) + [(PAD, PAD), (PAD, PAD), (0, 0)]
+    padded = jnp.pad(feat, pads)
+    return jax.lax.optimization_barrier(padded)
+
+
 def bilinear_sample_views_nhwc(
     feat: jax.Array,
     view: jax.Array,
     x: jax.Array,
     y: jax.Array,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """Sample `feat` [N, H, W, C] at (view, x, y); view is an int index.
 
-    The view axis is folded into the gather index so the whole multi-view
-    sample is still one gather (this is the TPU equivalent of the CUDA
-    kernel's view-indexed pointer arithmetic,
+    The view axis is folded into the gather (this is the TPU equivalent of
+    the CUDA kernel's view-indexed pointer arithmetic,
     `models/csrc/msmv_sampling/msmv_sampling_forward.cu:75-164`).
+
+    TPU cost model note: XLA gathers are costed per gathered *slice*
+    (~5 cycles each, nearly independent of slice width), so instead of 4
+    masked corner gathers we fetch one 2x2xC patch per point from a
+    2-pixel zero-padded operand. The padding makes zeros-outside semantics
+    exact with NO per-corner masks: any corner outside the image lands in
+    the zero border (far-outside points clamp entirely into it).
+
+    With `pre_padded=True`, `feat` is [N, H+2*PAD, W+2*PAD, C] from
+    :func:`pad_for_sampling` (hoist it out of iteration loops).
     """
-    N, H, W, C = feat.shape
+    if pre_padded:
+        N, Hp, Wp, C = feat.shape
+        H, W = Hp - 2 * PAD, Wp - 2 * PAD
+        padded = feat
+    else:
+        N, H, W, C = feat.shape
+        padded = pad_for_sampling(feat)
+
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0).astype(feat.dtype)
-    wy = (y - y0).astype(feat.dtype)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
+    wx = (x - x0).astype(feat.dtype)[..., None]
+    wy = (y - y0).astype(feat.dtype)[..., None]
+    # clamp into [-2, W] then shift: far-outside -> fully inside the border
+    x0p = (jnp.clip(x0, -PAD, W).astype(jnp.int32) + PAD)
+    y0p = (jnp.clip(y0, -PAD, H).astype(jnp.int32) + PAD)
 
-    flat = feat.reshape(N * H * W, C)
-    base = view * (H * W)
+    batch_shape = x.shape
+    idx = jnp.stack(
+        [view.reshape(-1), y0p.reshape(-1), x0p.reshape(-1)], axis=-1
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    patch = jax.lax.gather(
+        padded, idx, dnums, slice_sizes=(1, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # [K, 2, 2, C]
+    patch = patch.reshape(*batch_shape, 2, 2, C)
 
-    def ok(xi, yi):
-        return (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-
-    def idx(xi, yi):
-        return base + yi * W + xi
-
-    v00 = _gather_hw(flat, idx(x0i, y0i), ok(x0i, y0i))
-    v01 = _gather_hw(flat, idx(x1i, y0i), ok(x1i, y0i))
-    v10 = _gather_hw(flat, idx(x0i, y1i), ok(x0i, y1i))
-    v11 = _gather_hw(flat, idx(x1i, y1i), ok(x1i, y1i))
-
-    wx = wx[..., None]
-    wy = wy[..., None]
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
+    top = patch[..., 0, 0, :] * (1 - wx) + patch[..., 0, 1, :] * wx
+    bot = patch[..., 1, 0, :] * (1 - wx) + patch[..., 1, 1, :] * wx
     return top * (1 - wy) + bot * wy

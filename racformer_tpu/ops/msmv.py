@@ -27,6 +27,7 @@ def msmv_sample(
     mlvl_feats: Sequence[jax.Array],
     loc: jax.Array,
     weights: jax.Array,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """Args:
       mlvl_feats: L feature pyramids, each [S, N, H_l, W_l, C] (S = B*T*G slabs,
@@ -46,11 +47,18 @@ def msmv_sample(
     view = jnp.clip(view, 0, N - 1)
 
     def sample_level(feat_l, w_l):
-        # feat_l: [S, N, H, W, C]; w_l: [S, Q, P]
-        H, W = feat_l.shape[2], feat_l.shape[3]
+        # feat_l: [S, N, H, W, C] (+2*PAD border when pre_padded); w_l: [S, Q, P]
+        from .bilinear import PAD
+
+        off = 2 * PAD if pre_padded else 0
+        H, W = feat_l.shape[2] - off, feat_l.shape[3] - off
         x_pix = x_norm * (W - 1)  # align_corners=True mapping
         y_pix = y_norm * (H - 1)
-        out = jax.vmap(bilinear_sample_views_nhwc)(feat_l, view, x_pix, y_pix)
+        out = jax.vmap(
+            lambda f, v, xx, yy: bilinear_sample_views_nhwc(
+                f, v, xx, yy, pre_padded=pre_padded
+            )
+        )(feat_l, view, x_pix, y_pix)
         return out * w_l[..., None].astype(out.dtype)
 
     acc = sample_level(mlvl_feats[0], weights[..., 0])

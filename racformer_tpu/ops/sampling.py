@@ -83,6 +83,7 @@ def sample_image_features(
     lidar2img: jax.Array,
     image_h: int,
     image_w: int,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """Full `sampling_4d` equivalent.
 
@@ -110,6 +111,6 @@ def sample_image_features(
     w = scale_weights.transpose(0, 2, 3, 1, 4, 5).reshape(B * G * T, Q, P, L)
 
     feats = [f.reshape(B * T * G, *f.shape[3:]) for f in mlvl_feats]
-    out = msmv_sample(feats, loc, w)  # [B*T*G, Q, P, C]
+    out = msmv_sample(feats, loc, w, pre_padded=pre_padded)  # [B*T*G, Q, P, C]
     out = out.reshape(B, T, G, Q, P, C).transpose(0, 3, 2, 1, 4, 5)
     return out.reshape(B, Q, G, T * P, C)
