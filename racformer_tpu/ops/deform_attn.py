@@ -54,14 +54,16 @@ def deform_attn_single_level(
     x_pix = loc[..., 0] * W - 0.5  # align_corners=False mapping
     y_pix = loc[..., 1] * H - 0.5
 
+    # fold (slab, head) into one gather index: a single un-batched gather
+    # (vmap adds operand batching dims that worsen XLA's layout choices)
     head = jnp.broadcast_to(
         jnp.arange(M, dtype=jnp.int32)[None, :, None], (Q, M, P)
     )
-    head = jnp.broadcast_to(head[None], (S, Q, M, P))
-    out = jax.vmap(
-        lambda f, v, xx, yy: bilinear_sample_views_nhwc(
-            f, v, xx, yy, pre_padded=pre_padded
-        )
-    )(val_h, head, x_pix, y_pix)
+    slab = jnp.arange(S, dtype=jnp.int32)[:, None, None, None]
+    sm = slab * M + head[None]
+    val4 = val_h.reshape(S * M, *val_h.shape[2:])
+    out = bilinear_sample_views_nhwc(
+        val4, sm, x_pix, y_pix, pre_padded=pre_padded
+    )
     out = jnp.sum(out * weights[..., None].astype(out.dtype), axis=3)  # [S, Q, M, c]
     return out.reshape(S, Q, M * c)

@@ -46,6 +46,9 @@ def msmv_sample(
     view = jnp.round(loc[..., 2] * (N - 1)).astype(jnp.int32)
     view = jnp.clip(view, 0, N - 1)
 
+    S = mlvl_feats[0].shape[0]
+    slab = jnp.arange(S, dtype=jnp.int32)[:, None, None]
+
     def sample_level(feat_l, w_l):
         # feat_l: [S, N, H, W, C] (+2*PAD border when pre_padded); w_l: [S, Q, P]
         from .bilinear import PAD
@@ -54,11 +57,12 @@ def msmv_sample(
         H, W = feat_l.shape[2] - off, feat_l.shape[3] - off
         x_pix = x_norm * (W - 1)  # align_corners=True mapping
         y_pix = y_norm * (H - 1)
-        out = jax.vmap(
-            lambda f, v, xx, yy: bilinear_sample_views_nhwc(
-                f, v, xx, yy, pre_padded=pre_padded
-            )
-        )(feat_l, view, x_pix, y_pix)
+        # fold (slab, view) into one un-batched gather (see deform_attn)
+        sv = slab * N + view
+        f4 = feat_l.reshape(S * N, *feat_l.shape[2:])
+        out = bilinear_sample_views_nhwc(
+            f4, sv, x_pix, y_pix, pre_padded=pre_padded
+        )
         return out * w_l[..., None].astype(out.dtype)
 
     acc = sample_level(mlvl_feats[0], weights[..., 0])
