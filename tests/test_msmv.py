@@ -57,3 +57,43 @@ def test_msmv_zero_outside(rng):
     w = np.ones((S, Q, P, 1), np.float32)
     out = np.asarray(msmv_sample(feats, loc, w))
     np.testing.assert_allclose(out, 0.0)
+
+
+def test_msmv_v2_argmax_level(rng):
+    """msmv_sample_v2 selects the single argmax-weight level
+    (`wrapper.py:41-76` semantics)."""
+    from racformer_tpu.ops.msmv import msmv_sample_v2
+
+    S, N, C, Q, P = 1, 2, 4, 3, 5
+    shapes = [(8, 8), (4, 4)]
+    feats = [np.full((S, N, h, w, C), float(l + 1), np.float32)
+             for l, (h, w) in enumerate(shapes)]
+    loc = np.stack([
+        rng.uniform(0.2, 0.8, size=(S, Q, P)),
+        rng.uniform(0.2, 0.8, size=(S, Q, P)),
+        np.zeros((S, Q, P)),
+    ], axis=-1).astype(np.float32)
+    w = np.zeros((S, Q, P, 2), np.float32)
+    w[..., 0] = 0.9  # level 0 wins everywhere
+    w[0, 0, 0] = [0.1, 0.9]  # except one point -> level 1
+    out = np.asarray(msmv_sample_v2(feats, loc, w))
+    np.testing.assert_allclose(out[0, 0, 0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, 1:, :], 1.0, atol=1e-5)
+
+
+def test_msmv_pre_padded_matches_unpadded(rng):
+    from racformer_tpu.ops.bilinear import pad_for_sampling
+
+    S, N, C, Q, P, L = 2, 3, 8, 5, 7, 2
+    shapes = [(12, 16), (6, 8)]
+    feats = [rng.normal(size=(S, N, h, w, C)).astype(np.float32) for h, w in shapes]
+    loc = np.stack([
+        rng.uniform(-0.2, 1.2, size=(S, Q, P)),
+        rng.uniform(-0.2, 1.2, size=(S, Q, P)),
+        rng.integers(0, N, size=(S, Q, P)) / (N - 1),
+    ], axis=-1).astype(np.float32)
+    w = rng.uniform(size=(S, Q, P, L)).astype(np.float32)
+    a = np.asarray(msmv_sample(feats, loc, w))
+    padded = [np.asarray(pad_for_sampling(f)) for f in feats]
+    b = np.asarray(msmv_sample(padded, loc, w, pre_padded=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
