@@ -96,6 +96,12 @@ def bilinear_sample_views_nhwc(
 
     With `pre_padded=True`, `feat` is [N, H+2*PAD, W+2*PAD, C] from
     :func:`pad_for_sampling` (hoist it out of iteration loops).
+
+    TPU gather layout (measured on v5e, docs/experiments/gather_row_fusion.py):
+    gather cost is dominated by per-row issue rate, so the two patch rows are
+    pre-fused into channels (`fused[h, w] = concat(p[h, w], p[h+1, w])`) and
+    each patch becomes ONE single-row slice (1, 1, 2, 2C) — ~20% faster than
+    the (1, 2, 2, C) two-row patch and with a cheaper contiguous lerp.
     """
     if pre_padded:
         N, Hp, Wp, C = feat.shape
@@ -113,6 +119,10 @@ def bilinear_sample_views_nhwc(
     x0p = (jnp.clip(x0, -PAD, W).astype(jnp.int32) + PAD)
     y0p = (jnp.clip(y0, -PAD, H).astype(jnp.int32) + PAD)
 
+    # y-fuse the two patch rows into channels: [N, Hp-1, Wp, 2C]
+    fused = jnp.concatenate([padded[:, :-1], padded[:, 1:]], axis=-1)
+    fused = jax.lax.optimization_barrier(fused)
+
     batch_shape = x.shape
     idx = jnp.stack(
         [view.reshape(-1), y0p.reshape(-1), x0p.reshape(-1)], axis=-1
@@ -123,11 +133,13 @@ def bilinear_sample_views_nhwc(
         start_index_map=(0, 1, 2),
     )
     patch = jax.lax.gather(
-        padded, idx, dnums, slice_sizes=(1, 2, 2, C),
+        fused, idx, dnums, slice_sizes=(1, 1, 2, 2 * C),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # [K, 2, 2, C]
-    patch = patch.reshape(*batch_shape, 2, 2, C)
+    )  # [K, 1, 2, 2C]
+    patch = patch.reshape(*batch_shape, 2, 2 * C)
 
-    top = patch[..., 0, 0, :] * (1 - wx) + patch[..., 0, 1, :] * wx
-    bot = patch[..., 1, 0, :] * (1 - wx) + patch[..., 1, 1, :] * wx
+    left = patch[..., 0, :]   # (v00 | v10) at column x0
+    right = patch[..., 1, :]  # (v01 | v11) at column x0+1
+    top = left[..., :C] * (1 - wx) + right[..., :C] * wx
+    bot = left[..., C:] * (1 - wx) + right[..., C:] * wx
     return top * (1 - wy) + bot * wy
