@@ -1,0 +1,206 @@
+"""Prototype: Pallas scatter-add backward for the bilinear patch gather.
+
+The training backward of the sampling gathers is XLA's gather transpose — a
+scatter-add of 15M (1,1,2,2C) slices measured at ~440 ns/patch (6.7 s of the
+8.8 s train step). This kernel keeps the per-slab gradient map RESIDENT IN
+VMEM and turns each patch into:
+  - one MXU rank-expand per GROUP: upd[GROUP*WIN, 128] = A^T @ g
+    (A = the same block-diagonal x-lerp+attention-weight rows the forward
+    uses, prebuilt in XLA)
+  - one read-modify-write of an 8-aligned [WIN, 128] window per point.
+
+Grid = (slabs, chunks); the gradient-map out block persists across the chunk
+dimension and is zeroed at chunk 0 (standard accumulation pattern).
+
+XLA baseline: jax.vjp of the production-style fused patch gather.
+
+Usage: python pallas_scatter_v1.py [cpu]
+"""
+import functools
+import os
+import sys
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SM = 32
+H = W = 128
+PAD = 2
+Hp = H + 2 * PAD
+WIN = 16
+Wpad = ((W + 2 * PAD + WIN + 7) // 8) * 8
+C = 64
+K = 18000
+CHUNK = 1200
+GROUP = int(os.environ.get("GROUP", "8"))
+NCH = K // CHUNK
+
+
+def kernel(yx_ref, a_ref, g_ref, out_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0, :, :, :] = jnp.zeros_like(out_ref[0])
+
+    def body(grp, _):
+        base = grp * GROUP
+        a = a_ref[0, 0, pl.ds(base, GROUP), :]      # [G, G*WIN] bf16
+        g = g_ref[0, 0, pl.ds(base, GROUP), :]      # [G, 128] bf16
+        upd = jax.lax.dot_general(
+            a, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # [G*WIN, 128] f32
+        for j in range(GROUP):
+            y = yx_ref[0, 0, 0, base + j]
+            xb = pl.multiple_of(yx_ref[0, 0, 1, base + j], 8)
+            out_ref[0, y, pl.ds(xb, WIN), :] += upd[j * WIN:(j + 1) * WIN, :]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK // GROUP, body, 0)
+
+
+def make_call(interpret=False):
+    return pl.pallas_call(
+        kernel,
+        grid=(SM, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, CHUNK), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK, GROUP * WIN), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, 128), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hp - 1, Wpad, 128), lambda s, ch: (s, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SM, Hp - 1, Wpad, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def build_amat(x, xb, wx, aw):
+    o = (x - xb)[..., None]
+    grp = (jnp.arange(CHUNK, dtype=jnp.int32) % GROUP)[None, None, :, None]
+    col = jnp.arange(GROUP * WIN, dtype=jnp.int32)[None, None, None, :]
+    tgt = grp * WIN + o
+    a = jnp.where(col == tgt, (1 - wx)[..., None], 0.0) + jnp.where(
+        col == tgt + 1, wx[..., None], 0.0)
+    return (a * aw[..., None]).astype(jnp.bfloat16)
+
+
+def xla_gather(val_fused, yx_full, wx, wy, aw):
+    y0 = yx_full[:, :, 0, :].reshape(SM, -1)
+    x0 = yx_full[:, :, 1, :].reshape(SM, -1)
+    slab = jnp.broadcast_to(jnp.arange(SM, dtype=jnp.int32)[:, None], y0.shape)
+    idx = jnp.stack([slab.reshape(-1), y0.reshape(-1), x0.reshape(-1)], -1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    patch = jax.lax.gather(val_fused, idx, dnums, slice_sizes=(1, 1, 2, 2 * C),
+                           mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    patch = patch.reshape(SM, K, 2, 2 * C)
+    wxr = wx.reshape(SM, K, 1).astype(patch.dtype)
+    wyr = wy.reshape(SM, K, 1)
+    xl = (patch[:, :, 0] * (1 - wxr) + patch[:, :, 1] * wxr).astype(jnp.float32)
+    out = xl[..., :C] * (1 - wyr) + xl[..., C:] * wyr
+    return out * aw.reshape(SM, K, 1)
+
+
+rng = np.random.default_rng(0)
+xf = rng.uniform(0, W - 1, size=(SM, NCH, CHUNK)).astype(np.float32)
+yf = rng.uniform(0, H - 1, size=(SM, NCH, CHUNK)).astype(np.float32)
+awf = rng.uniform(0.1, 1.0, size=(SM, NCH, CHUNK)).astype(np.float32)
+x0 = np.floor(xf).astype(np.int32) + PAD
+y0 = np.floor(yf).astype(np.int32) + PAD
+wx = (xf - np.floor(xf)).astype(np.float32)
+wy = (yf - np.floor(yf)).astype(np.float32)
+gup = rng.normal(size=(SM, NCH, CHUNK, C)).astype(np.float32)
+
+xb = (x0 // 8) * 8
+yx = jnp.asarray(np.stack([y0, xb], axis=2))
+yx_full = jnp.asarray(np.stack([y0, x0], axis=2))
+wx_j, wy_j, aw_j = map(jnp.asarray, (wx, wy, awf))
+gup_j = jnp.asarray(gup)
+
+
+def pallas_bwd(yx, amat, gfused):
+    # gfused: [SM, NCH, CHUNK, 128] = per-point grad expanded to the y-fused
+    # channel layout (wy-weighted halves), bf16
+    return make_call()(yx, amat, gfused)
+
+
+def expand_g(gup, wy):
+    # d(out)/d(row) halves: top gets (1-wy), bottom gets wy
+    g2 = jnp.concatenate(
+        [gup * (1 - wy)[..., None], gup * wy[..., None]], axis=-1)
+    return g2.astype(jnp.bfloat16)
+
+
+amat = build_amat(jnp.asarray(x0), jnp.asarray(xb), wx_j, aw_j)
+
+if len(sys.argv) > 1 and sys.argv[1] == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    val = jnp.asarray(rng.normal(size=(SM, Hp - 1, Wpad, 2 * C)), jnp.bfloat16)
+    # reference grad via jax.vjp of the XLA gather
+    _, vjp = jax.vjp(lambda v: xla_gather(v, yx_full, wx_j, wy_j, aw_j), val)
+    want = np.asarray(vjp(gup_j.reshape(SM, K, C))[0], np.float32)
+    gf = expand_g(gup_j, wy_j)
+    got = np.asarray(pl.pallas_call(
+        kernel,
+        grid=(SM, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, CHUNK), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK, GROUP * WIN), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, 128), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hp - 1, Wpad, 128),
+                               lambda s, ch: (s, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SM, Hp - 1, Wpad, 128), jnp.float32),
+        interpret=True,
+    )(yx, amat, gf), np.float32)
+    # compare where the map was touched (bf16 atol)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=0.3)
+    print("interpret-mode scatter correctness OK "
+          f"(max abs diff {np.abs(got - want).max():.4f})")
+else:
+    def slope(call, *args):
+        def run(n):
+            t0 = time.perf_counter()
+            v = args[-1]
+            out = None
+            for _ in range(n):
+                out = call(*args[:-1], v)
+                v = v + out.reshape(-1)[0].astype(v.dtype) * jnp.asarray(0, v.dtype)
+            float(jax.device_get(out.reshape(-1)[0]))
+            return time.perf_counter() - t0
+        run(1)
+        t1, t2 = run(4), run(8)
+        return (t2 - t1) / 4
+
+    npatch = SM * K
+    modes = os.environ.get("MODES", "pallas,xla").split(",")
+    if "pallas" in modes:
+        call = jax.jit(lambda yx, amat, g, wy: pallas_bwd(yx, amat, expand_g(g, wy)))
+        per = slope(call, yx, amat, gup_j, wy_j)
+        print(f"pallas scatter (GROUP={GROUP}): {per * 1e3:.2f} ms "
+              f"({per / npatch * 1e9:.1f} ns/patch)")
+    if "xla" in modes:
+        val = jnp.asarray(rng.normal(size=(SM, Hp - 1, Wpad, 2 * C)), jnp.bfloat16)
+
+        def xla_bwd(g, val):
+            _, vjp = jax.vjp(lambda v: xla_gather(v, yx_full, wx_j, wy_j, aw_j), val)
+            return vjp(g)[0]
+
+        call = jax.jit(xla_bwd)
+        per = slope(call, gup_j.reshape(SM, K, C), val)
+        print(f"xla scatter (vjp): {per * 1e3:.2f} ms "
+              f"({per / npatch * 1e9:.1f} ns/patch)")

@@ -30,7 +30,9 @@ import numpy as np
 from PIL import Image
 
 from .depth_maps import points_to_depth_map, radar_to_depth_rcs_maps
-from .transforms import ImageAug, apply_image_aug
+from .transforms import (
+    ImageAug, apply_image_aug, bev_rot_scale_aug, transform_boxes_bev,
+)
 
 DEFAULT_CAMERAS = (
     "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
@@ -63,6 +65,7 @@ class NuScenesRadarDataset:
         camera_types: Sequence[str] = DEFAULT_CAMERAS,
         image_hw=(256, 704),
         ida_cfg: Optional[Dict] = None,
+        bev_aug_cfg: Optional[Dict] = None,
         max_radar_points: int = 1536,
         max_gt: int = 64,
         training: bool = False,
@@ -84,6 +87,7 @@ class NuScenesRadarDataset:
             resize_lim=(0.38, 0.55), final_dim=image_hw,
             src_dim=(900, 1600), rand_flip=True,
         )
+        self.bev_aug_cfg = bev_aug_cfg  # train-time global rot/scale; None = off
         self.max_radar_points = max_radar_points
         self.max_gt = max_gt
         self.training = training
@@ -147,6 +151,20 @@ class NuScenesRadarDataset:
         aug = ImageAug.sample(rng, self.ida_cfg, self.training)
         ida = aug.matrix()
 
+        # global BEV rot/scale aug (`RaCGlobalRotScaleTransImage`,
+        # /root/reference/loaders/pipelines/transforms.py:397-464): transforms
+        # GT boxes (incl. velocity), lidar & radar point xyz — radar point
+        # velocity dims stay untouched, matching the reference's LiDARPoints
+        # container (`loading.py:806-807`, attribute_dims=None) — and folds
+        # the inverse into every lidar2img. Depth/RCS rasterization below uses
+        # the transformed points + matrices, so the maps are aug-invariant,
+        # exactly as in the reference pipeline order (config `:204-221`).
+        bev_T = np.eye(4, dtype=np.float32)
+        bev_ang, bev_scale = 0.0, 1.0
+        if self.training and self.bev_aug_cfg:
+            bev_T, bev_ang, bev_scale = bev_rot_scale_aug(rng, **self.bev_aug_cfg)
+        bev_T_inv = np.linalg.inv(bev_T).astype(np.float32)
+
         imgs = np.zeros((T, N, H, W, 3), np.float32)
         l2i = np.zeros((T, N, 4, 4), np.float32)
         timestamps = np.zeros((T, N), np.float64)
@@ -158,12 +176,15 @@ class NuScenesRadarDataset:
         for t, fr in enumerate(frames):
             cams = fr["cams"]
             pts = np.asarray(fr.get("radar_points", np.zeros((0, 7))), np.float32)
+            if len(pts) and self.training and self.bev_aug_cfg:
+                pts = pts.copy()
+                pts[:, :3] = pts[:, :3] @ bev_T[:3, :3].T
             n = min(len(pts), self.max_radar_points)
             radar_pts[t, :n] = pts[:n]
             radar_msk[t, :n] = True
             for c, cam in enumerate(self.camera_types):
                 ci = cams[cam]
-                m = ida @ build_lidar2img(ci)
+                m = ida @ build_lidar2img(ci) @ bev_T_inv
                 l2i[t, c] = m
                 timestamps[t, c] = ci.get("timestamp", fr.get("timestamp", 0)) / 1e6
                 if "data_path" in ci and ci["data_path"]:
@@ -186,11 +207,17 @@ class NuScenesRadarDataset:
             ).astype(np.float32),
             time_diff=time_diff,
             token=info.get("token", str(idx)),
+            timestamp=np.float64(info.get("timestamp", 0)) / 1e6,
+            scene=str(info.get("scene_token", "")),
         )
 
-        if self.training and "gt_boxes" in info:
+        # GT comes along whenever the infos carry it (eval needs it for
+        # metrics; the reference gets eval GT from the devkit, `val.py:19-51`)
+        if "gt_boxes" in info:
             G = self.max_gt
             gt = np.asarray(info["gt_boxes"], np.float32)
+            if len(gt) and self.training and self.bev_aug_cfg:
+                gt = transform_boxes_bev(gt, bev_T, bev_ang, bev_scale)
             labels = np.asarray(info["gt_labels"], np.int64)
             n = min(len(gt), G)
             gtb = np.zeros((G, 9), np.float32)
@@ -201,8 +228,11 @@ class NuScenesRadarDataset:
                 gtl[:n] = labels[:n]
                 gtm[:n] = True
             sample.update(gt_bboxes=gtb, gt_labels=gtl, gt_mask=gtm)
-            if "lidar_points" in info:
+            if self.training and "lidar_points" in info:
                 pts = np.asarray(info["lidar_points"], np.float32)
+                if len(pts) and self.bev_aug_cfg:
+                    pts = pts.copy()
+                    pts[:, :3] = pts[:, :3] @ bev_T[:3, :3].T
                 dep = np.stack(
                     [points_to_depth_map(pts[:, :3], l2i[0, c], (H, W)) for c in range(N)]
                 )
@@ -213,7 +243,7 @@ class NuScenesRadarDataset:
         samples = [self[i] for i in indices]
         out = {}
         for k in samples[0]:
-            if k == "token":
+            if isinstance(samples[0][k], str):
                 out[k] = [s[k] for s in samples]
             else:
                 out[k] = np.stack([s[k] for s in samples])

@@ -22,12 +22,19 @@ def decode_boxes(
     max_num: int = 300,
     score_threshold: float = 0.05,
     post_center_range=(-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
+    legacy_version: str = "v1.0.0",
 ):
     """cls_scores: [B, Q, C] logits (last decoder layer); bbox_preds: [B, Q, 10].
 
     Returns dict(bboxes [B, max_num, 9], scores [B, max_num],
                  labels [B, max_num], valid [B, max_num]).
     Output boxes use the lidar bottom-center convention (z -= h/2).
+
+    `legacy_version='v0.17.1'` applies the reference's legacy mmdet3d box
+    convention flip — w/l swap + yaw := -yaw - pi/2
+    (`models/racformer_head.py:497-501`); checkpoints released before the
+    mmdet3d 1.0 coordinate refactor carry `version='v0.17.1'` and the val
+    driver reads it from the checkpoint (`/root/reference/val.py:126-132`).
     """
     B, Q, C = cls_scores.shape
     max_num = min(max_num, Q * C)
@@ -45,6 +52,12 @@ def decode_boxes(
     )
     # gravity center -> bottom center
     boxes = boxes.at[..., 2].add(-0.5 * boxes[..., 5])
+    if legacy_version == "v0.17.1":
+        boxes = jnp.concatenate(
+            [boxes[..., 0:3], boxes[..., 4:5], boxes[..., 3:4],
+             boxes[..., 5:6], -boxes[..., 6:7] - jnp.pi / 2, boxes[..., 7:9]],
+            axis=-1,
+        )
     valid = (top_scores > score_threshold) & in_range
     return {
         "bboxes": boxes,

@@ -76,6 +76,7 @@ class StreamingEvaluator:
                 score_threshold=ecfg.get("score_threshold", 0.05),
                 post_center_range=tuple(ecfg.get(
                     "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
+                legacy_version=ecfg.get("legacy_version", "v1.0.0"),
             )
             return new_cache, decoded
 

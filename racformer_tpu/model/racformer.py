@@ -58,6 +58,12 @@ class RaCFormer(nn.Module):
     num_clusters: int = 6
     num_levels: int = 4
     num_groups: int = 4
+    num_classes: int = 10
+    # optional config-file `decoder` block (num_layers, d_region_list,
+    # num_points, num_points_bev, img_depth_num, bev_depth_num, num_ray)
+    # merged over the built-in decoder defaults — the reference reads the same
+    # knobs from its config (`configs/racformer_r50_nuimg_704x256_f8.py:27-43`)
+    decoder: Any = None
     image_hw: tuple = (256, 704)
     pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     depth_bins: int = 96
@@ -101,23 +107,30 @@ class RaCFormer(nn.Module):
             dtype=jnp.float32,
             name="radar_encoder",
         )
+        decoder_cfg = dict(
+            num_layers=self.num_decoder_layers,
+            embed_dims=self.embed_dims,
+            num_frames=self.num_frames,
+            num_levels=self.num_levels,
+            num_classes=self.num_classes,
+            pc_range=self.pc_range,
+            bev_spatial_shape=self.bev_size,
+            image_hw=self.image_hw,
+        )
+        if self.decoder:
+            over = dict(self.decoder)
+            if "d_region_list" in over:
+                over["d_region_list"] = tuple(over["d_region_list"])
+            decoder_cfg.update(over)
         self.pts_bbox_head = RaCFormerHead(
-            num_classes=10,
+            num_classes=self.num_classes,
             num_query=self.num_query,
             num_clusters=self.num_clusters,
             embed_dims=self.embed_dims,
             pc_range=self.pc_range,
             query_denoising=self.query_denoising,
             max_gt=self.max_gt,
-            decoder_cfg=dict(
-                num_layers=self.num_decoder_layers,
-                embed_dims=self.embed_dims,
-                num_frames=self.num_frames,
-                num_levels=self.num_levels,
-                pc_range=self.pc_range,
-                bev_spatial_shape=self.bev_size,
-                image_hw=self.image_hw,
-            ),
+            decoder_cfg=decoder_cfg,
             train_mode=self.train_mode,
             dtype=self.head_dtype,
             name="pts_bbox_head",

@@ -17,6 +17,16 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _tree_digest(tree: Any) -> str:
+    """SHA-256 over every leaf's bytes (host-fetched once), in tree order."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
 class CheckpointManager:
     def __init__(self, work_dir: str, max_keep: int = 4, verify: bool = True,
                  retries: int = 3):
@@ -37,11 +47,10 @@ class CheckpointManager:
                 return
             try:
                 restored = self.mgr.restore(step, args=ocp.args.StandardRestore(state))
-                # spot-check one leaf for corruption (the reference re-loads
-                # the whole checkpoint and retries up to 10x)
-                a = jax.tree_util.tree_leaves(state)[0]
-                b = jax.tree_util.tree_leaves(restored)[0]
-                if np.allclose(np.asarray(a), np.asarray(b)):
+                # the reference re-loads the whole checkpoint and retries up
+                # to 10x (`check_checkpoint.py:141-157`); compare a hash over
+                # every leaf so any corrupted tensor fails verification
+                if _tree_digest(state) == _tree_digest(restored):
                     return
             except Exception:
                 pass

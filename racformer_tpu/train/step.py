@@ -56,7 +56,8 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None):
             mutable=["batch_stats"],
         )
         losses = detection_loss(
-            outs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"]
+            outs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
+            num_classes=model.num_classes,
         )
         # depth supervision on frame 0 (`models/racformer.py:377-378`);
         # depth_weight is a traced scalar so the curriculum hook

@@ -122,3 +122,87 @@ def test_nuscenes_reader_fabricated(tmp_path, rng):
     assert s["gt_mask"].sum() == 5
     # time_diff: frame 0 minus history timestamps, non-negative
     assert (s["time_diff"][1:] >= 0).all()
+
+
+def test_bev_aug_wired_consistent(tmp_path, rng):
+    """With the global BEV aug on, the transformed GT boxes project through
+    the transformed lidar2img to the same pixels as the raw GT through the
+    raw lidar2img, and the (aug-invariant) radar depth/RCS maps are unchanged
+    (reference pipeline order: aug before rasterization,
+    `configs/racformer_r50_nuimg_704x256_f8.py:204-221`)."""
+    pts = (rng.normal(size=(40, 7)) * np.array([20, 20, 1, 1, 2, 2, 0.1])).astype(
+        np.float32)
+    gt = np.concatenate(
+        [rng.normal(size=(4, 2)) * 20, rng.normal(size=(4, 1)),
+         rng.uniform(1, 3, size=(4, 3)), rng.normal(size=(4, 3))], axis=1
+    ).astype(np.float32)
+    info = dict(
+        token="t0", timestamp=0,
+        cams={"CAM_FRONT": {"lidar2img": _pinhole(500, 352, 128),
+                            "timestamp": 0, "data_path": ""}},
+        sweeps_cam=[], radar_points=pts, gt_boxes=gt,
+        gt_labels=rng.integers(0, 10, size=(4,)),
+    )
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": [info]}, f)
+
+    kw = dict(num_frames=1, frame_interval=1, camera_types=("CAM_FRONT",),
+              image_hw=(64, 128), max_radar_points=64, max_gt=8, training=True,
+              ida_cfg=dict(resize_lim=(0.4, 0.4), final_dim=(64, 128),
+                           src_dim=(256, 704), rand_flip=False))
+    raw = NuScenesRadarDataset(str(pkl), **kw)[0]
+    augd = NuScenesRadarDataset(
+        str(pkl), bev_aug_cfg=dict(rot_range=(0.3, 0.3),
+                                   scale_ratio_range=(1.04, 1.04)), **kw)[0]
+
+    def project(l2i, xyz):
+        p = l2i @ np.concatenate([xyz, [1.0]])
+        return p[:2] / p[2]
+
+    for g in range(4):
+        want = project(raw["lidar2img"][0, 0], raw["gt_bboxes"][g, :3])
+        got = project(augd["lidar2img"][0, 0], augd["gt_bboxes"][g, :3])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    # aug rotates the GT in lidar frame
+    assert not np.allclose(raw["gt_bboxes"][0, :2], augd["gt_bboxes"][0, :2])
+    np.testing.assert_allclose(raw["radar_depth"], augd["radar_depth"],
+                               rtol=1e-4, atol=1e-3)
+    # radar point velocities stay untouched (reference LiDARPoints quirk)
+    np.testing.assert_array_equal(raw["radar_points"][0, :40, 4:6],
+                                  augd["radar_points"][0, :40, 4:6])
+
+
+def test_prefetch_loader_matches_direct():
+    from racformer_tpu.data.prefetch import PrefetchLoader
+
+    ds = SyntheticDataset(num_samples=8, num_cams=1, num_frames=2, hw=(32, 64),
+                          max_radar_points=32, max_gt=4)
+    index_fn = lambda step: [(2 * step) % 8, (2 * step + 1) % 8]
+    loader = PrefetchLoader(ds, index_fn, total_steps=3, num_workers=2)
+    try:
+        for step in range(3):
+            got = loader.get(step)
+            want = ds.batch(index_fn(step))
+            for k in want:
+                if not isinstance(want[k], list):
+                    np.testing.assert_array_equal(got[k], want[k])
+    finally:
+        loader.close()
+
+
+def test_prefetch_loader_propagates_errors():
+    from racformer_tpu.data.prefetch import PrefetchLoader
+
+    class Boom:
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    loader = PrefetchLoader(Boom(), lambda s: [0], total_steps=1, num_workers=1)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            loader.get(0)
+    finally:
+        loader.close()

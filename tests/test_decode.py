@@ -37,3 +37,21 @@ def test_decode_z_shift(rng):
     box[..., 5] = np.log(2.0)  # h = 2
     out = decode_boxes(jnp.asarray(cls), jnp.asarray(box), max_num=4)
     np.testing.assert_allclose(np.asarray(out["bboxes"])[0, :, 2], -1.0, atol=1e-5)
+
+
+def test_decode_legacy_v0171_flip():
+    """legacy_version='v0.17.1' swaps w/l and flips yaw := -yaw - pi/2
+    (`/root/reference/models/racformer_head.py:497-501`)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    cls = jnp.asarray(rng.normal(size=(1, 8, 3)), jnp.float32)
+    box = jnp.asarray(rng.normal(size=(1, 8, 10)) * 0.3, jnp.float32)
+    new = decode_boxes(cls, box, max_num=5, legacy_version="v0.17.1")
+    old = decode_boxes(cls, box, max_num=5)
+    np.testing.assert_allclose(new["bboxes"][..., 3], old["bboxes"][..., 4], rtol=1e-6)
+    np.testing.assert_allclose(new["bboxes"][..., 4], old["bboxes"][..., 3], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new["bboxes"][..., 6]),
+        -np.asarray(old["bboxes"][..., 6]) - np.pi / 2, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(new["valid"]), np.asarray(old["valid"]))

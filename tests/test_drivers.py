@@ -57,3 +57,30 @@ def test_val_driver_streaming(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "samples/s" in r.stdout
+
+
+@pytest.mark.slow
+def test_val_driver_multichip_matches_single(tmp_path):
+    """Sharded batched eval over an 8-virtual-device data mesh produces the
+    same metrics as the sequential single-device path (the reference's
+    multi_gpu_test result-gather parity, `/root/reference/val.py:134-137`)."""
+    import json
+    import re
+
+    outs = {}
+    for name, extra_env in (
+        ("single", {}),
+        ("mesh8", {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}),
+    ):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
+        r = subprocess.run(
+            [sys.executable, "val.py",
+             "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+             "--synthetic", "--max-samples", "3", "--override", *TINY],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=540,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        m = re.search(r"\{[^{}]*\}", r.stdout[r.stdout.index("samples/s"):])
+        outs[name] = json.loads(m.group(0))
+    for k, v in outs["single"].items():
+        assert abs(outs["mesh8"][k] - v) < 1e-3, (k, outs)

@@ -89,6 +89,10 @@ def main():
     global_batch = batch_per_chip * n_dev
 
     model_cfg = dict(cfg.model)
+    if "num_classes" not in model_cfg and cfg.get("class_names"):
+        model_cfg["num_classes"] = len(cfg.class_names)
+    if cfg.get("decoder"):
+        model_cfg.setdefault("decoder", dict(cfg.decoder))
     model = RaCFormer(**model_cfg, train_mode=True)
 
     # --- dataset ---------------------------------------------------------
@@ -108,6 +112,8 @@ def main():
             num_frames=model.num_frames,
             frame_interval=tuple(cfg.data["train"].get("frame_interval", (4, 8))),
             image_hw=model.image_hw,
+            ida_cfg=dict(cfg.ida_aug) if cfg.get("ida_aug") else None,
+            bev_aug_cfg=dict(cfg.bev_aug) if cfg.get("bev_aug") else None,
             max_radar_points=cfg.radar["max_points"],
             max_gt=model.max_gt,
             training=True,
@@ -120,7 +126,8 @@ def main():
 
     # --- init ------------------------------------------------------------
     sample = dataset.batch(list(range(global_batch)))
-    batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "token"}
+    host_keys = ("token", "scene", "timestamp")  # host-side metadata, not model inputs
+    batch = {k: jnp.asarray(v) for k, v in sample.items() if k not in host_keys}
     rngs = {
         "params": jax.random.PRNGKey(args.seed),
         "dn": jax.random.PRNGKey(args.seed + 1),
@@ -202,7 +209,7 @@ def main():
         per-host sharding replacing DistributedGroupSampler)."""
         out = {}
         for k, v in sample.items():
-            if k == "token":
+            if k in host_keys:
                 continue
             if n_proc > 1:
                 out[k] = jax.make_array_from_process_local_data(shard, np.asarray(v))
@@ -210,29 +217,52 @@ def main():
                 out[k] = jax.device_put(jnp.asarray(v), shard)
         return out
 
-    for step in range(start_step, total_steps):
-        epoch = step // steps_per_epoch
-        idxs = [
+    def step_indices(step):
+        return [
             int(order[(step * global_batch + proc_off + i) % len(dataset)])
             for i in range(local_batch)
         ]
-        batch = put_batch(dataset.batch(idxs))
-        rng, sub = jax.random.split(rng)
-        state, metrics = jitted(
-            state, batch, jax.device_put(sub, repl),
-            jnp.asarray(curriculum.weight(epoch), jnp.float32),
-        )
-        if ema_params is not None:
-            ema_params = ema_step(ema_params, state.params, jnp.float32(step))
-        logger.log_step(step, jax.device_get(metrics), lr=float(sched(step)))
 
-        if (step + 1) % steps_per_epoch == 0 or step == total_steps - 1:
-            ckpt.save(step + 1, jax.device_get(state))
+    # async input pipeline: sample loading in worker threads, batch k+1
+    # device_put while step k runs (the reference uses 4 DataLoader worker
+    # processes per GPU, `loaders/builder.py:28-43`)
+    from racformer_tpu.data.prefetch import PrefetchLoader
+
+    loader = PrefetchLoader(
+        dataset, step_indices, total_steps, start_step=start_step,
+        num_workers=int(cfg.get("data_workers", 4)), prefetch=2, put=put_batch,
+    )
+    log_every = int(cfg.get("log_interval", 10))
+    pending = []  # (step, lazy device metrics) fetched every log_every steps
+
+    try:
+        for step in range(start_step, total_steps):
+            epoch = step // steps_per_epoch
+            batch = loader.get(step)
+            rng, sub = jax.random.split(rng)
+            state, metrics = jitted(
+                state, batch, jax.device_put(sub, repl),
+                jnp.asarray(curriculum.weight(epoch), jnp.float32),
+            )
             if ema_params is not None:
-                import pickle as _pkl
+                ema_params = ema_step(ema_params, state.params, jnp.float32(step))
+            # no per-step host sync: metrics stay on device and are fetched in
+            # a block every `log_every` steps (the device runs ahead)
+            pending.append((step, metrics))
+            if len(pending) >= log_every or step == total_steps - 1:
+                for s, m in pending:
+                    logger.log_step(s, jax.device_get(m), lr=float(sched(s)))
+                pending.clear()
 
-                with open(os.path.join(work_dir, "ema_params.pkl"), "wb") as f:
-                    _pkl.dump(jax.device_get(ema_params), f)
+            if (step + 1) % steps_per_epoch == 0 or step == total_steps - 1:
+                ckpt.save(step + 1, jax.device_get(state))
+                if ema_params is not None:
+                    import pickle as _pkl
+
+                    with open(os.path.join(work_dir, "ema_params.pkl"), "wb") as f:
+                        _pkl.dump(jax.device_get(ema_params), f)
+    finally:
+        loader.close()
 
     print("training done")
 

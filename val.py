@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--streaming", action="store_true",
                    help="per-frame streaming eval with temporal feature cache")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="samples per chip; the effective batch is this times "
+                        "jax.device_count() (sharded over the data mesh)")
     return p.parse_args()
 
 
@@ -57,6 +60,10 @@ def main():
 
     cfg = Config.fromfile(args.config).merge_override(args.override)
     model_cfg = dict(cfg.model)
+    if "num_classes" not in model_cfg and cfg.get("class_names"):
+        model_cfg["num_classes"] = len(cfg.class_names)
+    if cfg.get("decoder"):
+        model_cfg.setdefault("decoder", dict(cfg.decoder))
     model = RaCFormer(**model_cfg, train_mode=False)
 
     max_samples = args.max_samples or cfg.get("max_samples")
@@ -88,6 +95,7 @@ def main():
             num_frames=model.num_frames,
             frame_interval=int(cfg.data["val"].get("frame_interval", 6)),
             image_hw=model.image_hw,
+            ida_cfg=dict(cfg.ida_aug) if cfg.get("ida_aug") else None,
             max_radar_points=cfg.radar["max_points"],
             max_gt=model.max_gt,
             training=False,
@@ -96,7 +104,8 @@ def main():
 
     sample = dataset[0]
     batch = {
-        k: jnp.asarray(v)[None] for k, v in sample.items() if k != "token"
+        k: jnp.asarray(v)[None] for k, v in sample.items()
+        if k not in ("token", "scene", "timestamp")
     }
     arg_keys = ("imgs", "radar_points", "radar_mask", "radar_depth", "radar_rcs",
                 "lidar2img", "img2lidar", "time_diff")
@@ -108,14 +117,30 @@ def main():
         )
     )(batch)
 
+    legacy_version = "v1.0.0"
     if args.checkpoint:
-        if os.path.isfile(args.checkpoint):
+        if os.path.isfile(args.checkpoint) and args.checkpoint.endswith((".pth", ".pt")):
+            # a released torch checkpoint: convert in place and honor its
+            # legacy `version` field (the reference reads it into VERSION.name
+            # for the v0.17.1 box-convention flip, `val.py:126-132`)
+            import torch
+
+            from racformer_tpu.tools.convert_weights import load_pretrained
+
+            ckpt = torch.load(args.checkpoint, map_location="cpu",
+                              weights_only=False)
+            legacy_version = ckpt.get("version", legacy_version) or legacy_version
+            variables = dict(variables)
+            variables["params"] = load_pretrained(args.checkpoint, variables["params"])
+        elif os.path.isfile(args.checkpoint):
             # a pickled {'params': ..., 'batch_stats': ...} variables file
-            # (produced by the weight converter or a training export)
+            # (produced by the weight converter or a training export);
+            # an optional 'version' entry carries the legacy box convention
             import pickle
 
             with open(args.checkpoint, "rb") as f:
                 variables = pickle.load(f)
+            legacy_version = variables.pop("version", legacy_version)
         else:
             # an orbax work_dir from train.py: restore the latest TrainState
             from racformer_tpu.train import TrainState
@@ -133,6 +158,7 @@ def main():
             variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     ecfg = dict(cfg.get("eval_cfg", {}))
+    ecfg.setdefault("legacy_version", legacy_version)
 
     preds, gts = [], []
     t_total, n = 0.0, 0
@@ -144,13 +170,23 @@ def main():
         from racformer_tpu.eval.streaming import StreamingEvaluator
 
         ev = StreamingEvaluator(model, variables, eval_cfg=ecfg)
+        prev_scene = None
         for i in range(num):
             s = dataset[i]
+            # reset the temporal cache at scene boundaries so frames never
+            # bleed across scenes (the reference keys its feature cache by
+            # filename for the same reason, `models/racformer.py:503-556`)
+            scene = s.get("scene", None)
+            if scene is not None and scene != prev_scene:
+                if prev_scene is not None:
+                    ev.reset()
+                prev_scene = scene
             frame = dict(
                 imgs=s["imgs"][0], radar_points=s["radar_points"][0],
                 radar_mask=s["radar_mask"][0], radar_depth=s["radar_depth"][0],
                 radar_rcs=s["radar_rcs"][0], lidar2img=s["lidar2img"][0],
-                img2lidar=s["img2lidar"][0], timestamp=float(i) * 0.5,
+                img2lidar=s["img2lidar"][0],
+                timestamp=float(s.get("timestamp", i * 0.5)),
             )
             t0 = time.perf_counter()
             out = ev.step(frame, blocking=False)
@@ -164,7 +200,18 @@ def main():
                 gts.append(dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
                                 mask=s["gt_mask"]))
     else:
-        @jax.jit
+        # batched offline eval, sharded over the data mesh: the TPU-native
+        # equivalent of the reference's `multi_gpu_test` + rank-0 result
+        # gather (`/root/reference/val.py:134-137`) — one jitted program over
+        # Mesh(('data',)), predictions fetched to host per chunk, tail padded
+        # with the last sample and dropped after decode.
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = np.asarray(jax.devices())
+        mesh = Mesh(devices, ("data",))
+        shard = NamedSharding(mesh, P("data"))
+        B = max(1, int(args.batch_size)) * len(devices)
+
         def predict(b):
             outs = model.apply(
                 variables, preprocess_images(b["imgs"]), *[b[k] for k in arg_keys[1:]]
@@ -175,22 +222,32 @@ def main():
                 score_threshold=ecfg.get("score_threshold", 0.05),
                 post_center_range=tuple(ecfg.get(
                     "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
+                legacy_version=ecfg.get("legacy_version", "v1.0.0"),
             )
 
-        for i in range(num):
-            s = dataset[i]
-            b = {k: jnp.asarray(v)[None] for k, v in s.items() if k != "token"}
+        predict = jax.jit(
+            predict, in_shardings=({k: shard for k in arg_keys},),
+            out_shardings=shard,
+        )
+
+        for start in range(0, num, B):
+            idxs = list(range(start, min(start + B, num)))
+            pad = B - len(idxs)
+            sb = dataset.batch(idxs + [idxs[-1]] * pad)
+            b = {k: jax.device_put(jnp.asarray(sb[k]), shard) for k in arg_keys}
             t0 = time.perf_counter()
             out = predict(b)
             jax.block_until_ready(out)
-            if i > 0:  # skip compile
+            if start > 0:  # skip the compile chunk
                 t_total += time.perf_counter() - t0
-                n += 1
+                n += len(idxs)
             out = jax.device_get(out)
-            preds.append({k: v[0] for k, v in out.items()})
-            if "gt_bboxes" in s:
-                gts.append(dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
-                                mask=s["gt_mask"]))
+            for j in range(len(idxs)):
+                preds.append({k: v[j] for k, v in out.items()})
+                if "gt_bboxes" in sb:
+                    gts.append(dict(bboxes=sb["gt_bboxes"][j],
+                                    labels=sb["gt_labels"][j],
+                                    mask=sb["gt_mask"][j]))
 
     fps = n / t_total if t_total > 0 else 0.0
     print(f"eval: {num} samples, {fps:.2f} samples/s")
