@@ -79,6 +79,8 @@ def make_call(interpret=False):
         out_specs=pl.BlockSpec((1, Hp - 1, Wpad, 128), lambda s, ch: (s, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((SM, Hp - 1, Wpad, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get("VMEM_MB", "28")) * 1024 * 1024),
         interpret=interpret,
     )
 

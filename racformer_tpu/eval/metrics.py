@@ -33,8 +33,17 @@ MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 # classes where velocity error is not evaluated (protocol)
 NO_VELOCITY = {"traffic_cone", "barrier"}
+# classes with no attribute annotation (excluded from mAAE, protocol)
+NO_ATTRIBUTE = {"traffic_cone", "barrier"}
 # classes where orientation is evaluated mod pi (protocol: barrier)
 PERIOD_PI = {"barrier"}
+# per-class max evaluation range in meters (nuScenes detection_cvpr_2019
+# `class_range`); boxes beyond it are dropped from preds and GT
+CLASS_RANGE = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
 
 
 def _size_iou(pred_wlh: np.ndarray, gt_wlh: np.ndarray) -> float:
@@ -49,10 +58,12 @@ def _yaw_diff(a: float, b: float, period: float) -> float:
     return float(min(d, period - d))
 
 
-def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi):
+def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi,
+                gt_attrs_c=None):
     """One (class, threshold) accumulation.
 
-    preds_c: list of (sample_idx, score, box9); gts_c: dict sample -> [G, 9].
+    preds_c: list of (sample_idx, score, box9, attr_or_None);
+    gts_c: dict sample -> [G, 9]; gt_attrs_c: dict sample -> [G] int attrs.
     Returns dict with interpolated precision + tp errors, devkit-style.
     """
     npos = sum(len(v) for v in gts_c.values())
@@ -62,12 +73,12 @@ def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi):
         ones = np.ones(101)
         return dict(precision=np.zeros(101), confidence=np.zeros(101),
                     max_recall=0.0, trans_err=ones, scale_err=ones,
-                    orient_err=ones, vel_err=ones)
+                    orient_err=ones, vel_err=ones, attr_err=ones)
     preds_sorted = sorted(preds_c, key=lambda x: -x[1])
     taken = {k: np.zeros(len(v), bool) for k, v in gts_c.items()}
     tp, fp, confs = [], [], []
-    err_t, err_s, err_o, err_v = [], [], [], []
-    for s_idx, score, box in preds_sorted:
+    err_t, err_s, err_o, err_v, err_a = [], [], [], [], []
+    for s_idx, score, box, attr in preds_sorted:
         gt = gts_c.get(s_idx)
         best, best_j = 1e18, -1
         if gt is not None and len(gt):
@@ -84,6 +95,10 @@ def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi):
             err_s.append(1.0 - _size_iou(box[3:6], g[3:6]))
             err_o.append(_yaw_diff(box[6], g[6], yaw_period))
             err_v.append(float(np.hypot(box[7] - g[7], box[8] - g[8])))
+            if attr is not None and gt_attrs_c and s_idx in gt_attrs_c:
+                err_a.append(float(int(attr) != int(gt_attrs_c[s_idx][best_j])))
+            else:
+                err_a.append(1.0)  # unknown attribute = max error
         else:
             tp.append(0.0)
             fp.append(1.0)
@@ -91,6 +106,7 @@ def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi):
             err_s.append(np.nan)
             err_o.append(np.nan)
             err_v.append(np.nan)
+            err_a.append(np.nan)
         confs.append(score)
 
     tp = np.cumsum(tp)
@@ -119,6 +135,7 @@ def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi):
         scale_err=interp_err(err_s),
         orient_err=interp_err(err_o),
         vel_err=interp_err(err_v),
+        attr_err=interp_err(err_a),
     )
 
 
@@ -143,43 +160,72 @@ def nuscenes_metrics(
     gts: List[Dict],
     class_names: Sequence[str] = CLASS_NAMES,
     front_only: bool = False,
+    class_range: Optional[Dict[str, float]] = None,
 ) -> Dict[str, float]:
-    """preds[i]: dict(bboxes [K, 9], scores [K], labels [K], valid [K]);
-    gts[i]: dict(bboxes [G, 9], labels [G], mask [G])."""
+    """preds[i]: dict(bboxes [K, 9], scores [K], labels [K], valid [K],
+    optional attrs [K] int); gts[i]: dict(bboxes [G, 9], labels [G], mask [G],
+    optional attrs [G] int, optional num_pts [G] int).
+
+    Protocol filters implemented as in the devkit's `filter_eval_boxes`:
+    per-class max range (`class_range`, distance measured from the lidar
+    origin — the devkit uses the ego pose, a ~1 m xy offset) and removal of GT
+    boxes with zero lidar+radar points when `num_pts` is present. The devkit's
+    bike-rack filter needs nuScenes map records and is not reproducible from
+    info files; it removes a handful of bicycle/motorcycle GTs.
+    """
     num_classes = len(class_names)
+    ranges = dict(CLASS_RANGE) if class_range is None else dict(class_range)
     per_class_preds = {c: [] for c in range(num_classes)}
     per_class_gts = {c: {} for c in range(num_classes)}
+    per_class_gt_attrs = {c: {} for c in range(num_classes)}
+
+    def in_range(boxes, labels):
+        r = np.asarray([ranges.get(class_names[int(l)], 1e9) for l in labels])
+        return np.hypot(boxes[:, 0], boxes[:, 1]) <= r
 
     for i, (p, g) in enumerate(zip(preds, gts)):
         valid = np.asarray(p["valid"], bool)
         boxes = np.asarray(p["bboxes"])[valid]
         scores = np.asarray(p["scores"])[valid]
         labels = np.asarray(p["labels"])[valid]
+        attrs = np.asarray(p["attrs"])[valid] if "attrs" in p else None
+        keep = in_range(boxes, labels)
         if front_only:
-            keep = boxes[:, 0] > 0
-            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
-        for b, s, l in zip(boxes, scores, labels):
-            per_class_preds[int(l)].append((i, float(s), b))
+            keep &= boxes[:, 0] > 0
+        boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+        attrs = attrs[keep] if attrs is not None else None
+        for j, (b, s, l) in enumerate(zip(boxes, scores, labels)):
+            a = int(attrs[j]) if attrs is not None else None
+            per_class_preds[int(l)].append((i, float(s), b, a))
 
         gmask = np.asarray(g["mask"], bool)
         gboxes = np.asarray(g["bboxes"])[gmask]
         glabels = np.asarray(g["labels"])[gmask]
+        gattrs = np.asarray(g["attrs"])[gmask] if "attrs" in g else None
+        keep = in_range(gboxes, glabels)
+        if "num_pts" in g:  # devkit: drop GT with no lidar+radar points
+            keep &= np.asarray(g["num_pts"])[gmask] > 0
         if front_only:
-            keep = gboxes[:, 0] > 0
-            gboxes, glabels = gboxes[keep], glabels[keep]
+            keep &= gboxes[:, 0] > 0
+        gboxes, glabels = gboxes[keep], glabels[keep]
+        gattrs = gattrs[keep] if gattrs is not None else None
         for c in range(num_classes):
-            sel = gboxes[glabels == c]
-            if len(sel):
-                per_class_gts[c][i] = sel
+            sel = glabels == c
+            if sel.any():
+                per_class_gts[c][i] = gboxes[sel]
+                if gattrs is not None:
+                    per_class_gt_attrs[c][i] = gattrs[sel]
 
     aps = []
-    tp_errs = {"trans_err": [], "scale_err": [], "orient_err": [], "vel_err": []}
+    tp_errs = {"trans_err": [], "scale_err": [], "orient_err": [],
+               "vel_err": [], "attr_err": []}
     for c in range(num_classes):
         cls_aps = []
         name = class_names[c]
         period = np.pi if name in PERIOD_PI else 2 * np.pi
         for th in DIST_THRESHOLDS:
-            md = _accumulate(per_class_preds[c], per_class_gts[c], th, period)
+            md = _accumulate(per_class_preds[c], per_class_gts[c], th, period,
+                             gt_attrs_c=per_class_gt_attrs[c])
             cls_aps.append(_ap_from_md(md) if md else np.nan)
             if th == TP_THRESHOLD and md is not None:
                 tp_errs["trans_err"].append(_tp_from_md(md, "trans_err"))
@@ -187,6 +233,8 @@ def nuscenes_metrics(
                 tp_errs["orient_err"].append(_tp_from_md(md, "orient_err"))
                 if name not in NO_VELOCITY:
                     tp_errs["vel_err"].append(_tp_from_md(md, "vel_err"))
+                if name not in NO_ATTRIBUTE:
+                    tp_errs["attr_err"].append(_tp_from_md(md, "attr_err"))
         if not np.all(np.isnan(cls_aps)):
             aps.append(np.nanmean(cls_aps))
 
@@ -196,7 +244,7 @@ def nuscenes_metrics(
     out["mASE"] = float(np.mean(tp_errs["scale_err"])) if tp_errs["scale_err"] else 1.0
     out["mAOE"] = float(np.mean(tp_errs["orient_err"])) if tp_errs["orient_err"] else 1.0
     out["mAVE"] = float(np.mean(tp_errs["vel_err"])) if tp_errs["vel_err"] else 1.0
-    out["mAAE"] = 1.0  # attributes not modeled (see module docstring)
+    out["mAAE"] = float(np.mean(tp_errs["attr_err"])) if tp_errs["attr_err"] else 1.0
     tp_sum = sum(max(0.0, 1.0 - min(1.0, out[k])) for k in
                  ("mATE", "mASE", "mAOE", "mAVE", "mAAE"))
     out["NDS"] = float((5.0 * mAP + tp_sum) / 10.0)

@@ -10,8 +10,11 @@ lerps fuse into the surrounding computation.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gather_hw(flat_feat: jax.Array, idx: jax.Array, ok: jax.Array) -> jax.Array:
@@ -74,12 +77,124 @@ def pad_for_sampling(feat: jax.Array) -> jax.Array:
     return jax.lax.optimization_barrier(padded)
 
 
+def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
+                  x0p: jax.Array) -> jax.Array:
+    """One (1, 1, 2, 2C) slice per point from the y-fused map.
+
+    fused: [NS, R0, Wp, 2C]; index arrays share a batch shape.
+    Returns [*batch, 2, 2C]."""
+    C2 = fused.shape[-1]
+    batch_shape = view.shape
+    idx = jnp.stack(
+        [view.reshape(-1), y0p.reshape(-1), x0p.reshape(-1)], axis=-1
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    patch = jax.lax.gather(
+        fused, idx, dnums, slice_sizes=(1, 1, 2, C2),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    return patch.reshape(*batch_shape, 2, C2)
+
+
+def _lerp_patch(patch: jax.Array, wx: jax.Array, wy: jax.Array) -> jax.Array:
+    C2 = patch.shape[-1]
+    C = C2 // 2
+    wx = wx.astype(patch.dtype)[..., None]
+    wy = wy.astype(patch.dtype)[..., None]
+    left = patch[..., 0, :]
+    right = patch[..., 1, :]
+    top = left[..., :C] * (1 - wx) + right[..., :C] * wx
+    bot = left[..., C:] * (1 - wx) + right[..., C:] * wx
+    return top * (1 - wy) + bot * wy
+
+
+@jax.custom_vjp
+def _patch_sample(fused, view, y0p, x0p, wx, wy):
+    """Fused-map bilinear sample with a hand-written backward.
+
+    Forward is the plain XLA patch gather + lerp. The backward replaces XLA's
+    gather transpose (a ~4.6 us/patch scatter-add on v5e) with the Pallas
+    VMEM-resident scatter kernel (~41 ns/patch, `ops/scatter_kernel.py`) —
+    the TPU counterpart of the reference's hand-written CUDA backward
+    (`models/csrc/msmv_sampling/msmv_sampling_backward.cu:68-104`).
+    """
+    return _lerp_patch(_gather_patch(fused, view, y0p, x0p), wx, wy)
+
+
+def _patch_sample_fwd(fused, view, y0p, x0p, wx, wy):
+    out = _patch_sample(fused, view, y0p, x0p, wx, wy)
+    return out, (fused, view, y0p, x0p, wx, wy)
+
+
+def _patch_sample_bwd(res, g):
+    from .scatter_kernel import (
+        WIN, build_lerp_rows, chunk_layout, pad_chunks, scatter_patch_grads,
+    )
+
+    fused, view, y0p, x0p, wx, wy = res
+    NS, R0, Wp, C2 = fused.shape
+    C = C2 // 2
+    S = view.shape[0]
+    J = NS // S  # sub-slab axis (heads / camera views) folded into `view`
+    K = int(np.prod(view.shape[1:]))
+    wpad = int(np.ceil((Wp + WIN - 2) / 8)) * 8
+    chunk, nch, kpad = chunk_layout(K)
+
+    g32 = g.astype(jnp.float32)
+    wy32 = wy.astype(jnp.float32)[..., None]
+    gfused = jnp.concatenate([g32 * (1 - wy32), g32 * wy32], axis=-1)
+
+    def prep(a):
+        return pad_chunks(a.reshape(S, K), kpad).reshape(S, nch, chunk)
+
+    row = (view % J) * R0 + y0p
+    xb = (x0p // 8) * 8
+    o = x0p - xb
+    rowxb = jnp.stack([prep(row), prep(xb)], axis=2)
+    valid = (jnp.arange(kpad) < K).reshape(1, nch, chunk, 1)
+    amat = build_lerp_rows(prep(o), prep(wx.astype(jnp.float32))) * valid
+    gf = pad_chunks(
+        gfused.reshape(S, K, C2).transpose(0, 2, 1), kpad
+    ).transpose(0, 2, 1).reshape(S, nch, chunk, C2).astype(jnp.bfloat16)
+
+    interpret = jax.default_backend() == "cpu"
+    gmap = scatter_patch_grads(rowxb, amat.astype(jnp.bfloat16), gf,
+                               J * R0, wpad, chunk, interpret)
+    d_fused = gmap.reshape(S, J, R0, wpad, C2)[..., :Wp, :]
+    d_fused = d_fused.reshape(NS, R0, Wp, C2).astype(fused.dtype)
+
+    # location gradients need the window values again: re-gather (cheap
+    # relative to the scatter; the reference backward reads the same corners,
+    # `msmv_sampling_backward.cu:75-101`)
+    patch = _gather_patch(fused, view, y0p, x0p).astype(jnp.float32)
+    v00, v10 = patch[..., 0, :C], patch[..., 0, C:]
+    v01, v11 = patch[..., 1, :C], patch[..., 1, C:]
+    wx32 = wx.astype(jnp.float32)[..., None]
+    d_wx = jnp.sum(g32 * ((v01 - v00) * (1 - wy32) + (v11 - v10) * wy32), -1)
+    top = v00 * (1 - wx32) + v01 * wx32
+    bot = v10 * (1 - wx32) + v11 * wx32
+    d_wy = jnp.sum(g32 * (bot - top), -1)
+
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (d_fused, zi(view), zi(y0p), zi(x0p),
+            d_wx.astype(wx.dtype), d_wy.astype(wy.dtype))
+
+
+_patch_sample.defvjp(_patch_sample_fwd, _patch_sample_bwd)
+
+
 def bilinear_sample_views_nhwc(
     feat: jax.Array,
     view: jax.Array,
     x: jax.Array,
     y: jax.Array,
     pre_padded: bool = False,
+    custom_grad: bool = True,
+    blocked_views: bool = False,
 ) -> jax.Array:
     """Sample `feat` [N, H, W, C] at (view, x, y); view is an int index.
 
@@ -123,23 +238,15 @@ def bilinear_sample_views_nhwc(
     fused = jnp.concatenate([padded[:, :-1], padded[:, 1:]], axis=-1)
     fused = jax.lax.optimization_barrier(fused)
 
-    batch_shape = x.shape
-    idx = jnp.stack(
-        [view.reshape(-1), y0p.reshape(-1), x0p.reshape(-1)], axis=-1
-    )
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2),
-    )
-    patch = jax.lax.gather(
-        fused, idx, dnums, slice_sizes=(1, 1, 2, 2 * C),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # [K, 1, 2, 2C]
-    patch = patch.reshape(*batch_shape, 2, 2 * C)
-
-    left = patch[..., 0, :]   # (v00 | v10) at column x0
-    right = patch[..., 1, :]  # (v01 | v11) at column x0+1
-    top = left[..., :C] * (1 - wx) + right[..., :C] * wx
-    bot = left[..., C:] * (1 - wx) + right[..., C:] * wx
-    return top * (1 - wy) + bot * wy
+    view = view.astype(jnp.int32)
+    if custom_grad and blocked_views and 2 * C == 128:
+        # custom VJP: identical forward, Pallas scatter backward (the train
+        # step's dominant cost under plain autodiff). Requires 128-lane fused
+        # channels AND the caller's promise that points with leading batch
+        # index s only reference slabs [s*J, (s+1)*J) where J = N / batch —
+        # true for both production view foldings (deform: slab*M + head,
+        # msmv: slab*N + camera), asserted nowhere at runtime.
+        return _patch_sample(fused, jnp.broadcast_to(view, x.shape), y0p,
+                             x0p, wx[..., 0], wy[..., 0])
+    patch = _gather_patch(fused, jnp.broadcast_to(view, x.shape), y0p, x0p)
+    return _lerp_patch(patch, wx[..., 0], wy[..., 0])

@@ -63,7 +63,7 @@ def deform_attn_single_level(
     sm = slab * M + head[None]
     val4 = val_h.reshape(S * M, *val_h.shape[2:])
     out = bilinear_sample_views_nhwc(
-        val4, sm, x_pix, y_pix, pre_padded=pre_padded
+        val4, sm, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True
     )
     out = jnp.sum(out * weights[..., None].astype(out.dtype), axis=3)  # [S, Q, M, c]
     return out.reshape(S, Q, M * c)

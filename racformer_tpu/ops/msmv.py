@@ -15,6 +15,7 @@ Autodiff (for features, locations and weights) comes for free.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -61,7 +62,7 @@ def msmv_sample(
         sv = slab * N + view
         f4 = feat_l.reshape(S * N, *feat_l.shape[2:])
         out = bilinear_sample_views_nhwc(
-            f4, sv, x_pix, y_pix, pre_padded=pre_padded
+            f4, sv, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True
         )
         return out * w_l[..., None].astype(out.dtype)
 
@@ -90,9 +91,9 @@ def msmv_sample_v2(
     out = None
     for l, feat_l in enumerate(mlvl_feats):
         H, W = feat_l.shape[2], feat_l.shape[3]
-        s = jax.vmap(bilinear_sample_views_nhwc)(
-            feat_l, view, x_norm * (W - 1), y_norm * (H - 1)
-        )
+        s = jax.vmap(
+            functools.partial(bilinear_sample_views_nhwc, custom_grad=False)
+        )(feat_l, view, x_norm * (W - 1), y_norm * (H - 1))
         sel = (best == l)[..., None].astype(s.dtype)
         out = s * sel if out is None else out + s * sel
     return out

@@ -1,0 +1,133 @@
+"""Pallas TPU scatter-add kernel: the backward of the bilinear patch gather.
+
+XLA's transpose of the sampling gathers is a scatter-add of (1, 1, 2, 2C)
+slices, measured at ~4.6 us/patch on v5e — it dominated the round-1 train
+step (6.7 s of 8.8 s; the reference's hand-written equivalent is the
+atomicAdd backward in `models/csrc/msmv_sampling/msmv_sampling_backward.cu:68-104`).
+This kernel keeps the whole per-slab gradient map RESIDENT IN VMEM (v5e has
+128 MB; measured in docs/experiments/pallas_scatter_v1.py at ~41 ns/patch,
+~112x XLA) and processes points in groups of 8:
+
+  - one MXU expansion per group: upd[GROUP*WIN, 128] = A^T @ g, where A holds
+    the x-lerp weights as block-diagonal rows (prebuilt in XLA) and g is the
+    upstream cotangent expanded to the y-fused channel layout,
+  - one read-modify-write of an 8-aligned [WIN, 128] window per point
+    (dynamic sublane starts must be 8-aligned on Mosaic, so windows start at
+    (x//8)*8 and A carries the in-window offset).
+
+Grid = (slabs, chunks); the gradient-map block persists across the chunk
+dimension and is zeroed at chunk 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN = 16          # window width: covers x, x+1 for any (x//8)*8 start
+GROUP = 8         # points per MXU expansion
+LANES = 128       # y-fused channels (2C); all sampling call sites have C=64
+
+
+def _kernel(rowxb_ref, a_ref, g_ref, out_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0, :, :, :] = jnp.zeros_like(out_ref[0])
+
+    chunk = a_ref.shape[2]
+
+    def body(grp, _):
+        base = grp * GROUP
+        a = a_ref[0, 0, pl.ds(base, GROUP), :]          # [G, G*WIN] bf16
+        g = g_ref[0, 0, pl.ds(base, GROUP), :]          # [G, LANES] bf16
+        upd = jax.lax.dot_general(
+            a, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [G*WIN, LANES] f32
+        for j in range(GROUP):
+            row = rowxb_ref[0, 0, 0, base + j]
+            xb = pl.multiple_of(rowxb_ref[0, 0, 1, base + j], 8)
+            out_ref[0, row, pl.ds(xb, WIN), :] += upd[j * WIN:(j + 1) * WIN, :]
+        return 0
+
+    jax.lax.fori_loop(0, chunk // GROUP, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def scatter_patch_grads(
+    rowxb: jax.Array,
+    amat: jax.Array,
+    gfused: jax.Array,
+    rows: int,
+    wpad: int,
+    chunk: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Accumulate per-point window updates into per-slab gradient maps.
+
+    Args:
+      rowxb: [S, NCH, 2, CHUNK] int32 — (row, window start) per point; the
+        row index folds any sub-slab axis (head/view/level) that the gather
+        folded into its leading index.
+      amat: [S, NCH, CHUNK, GROUP*WIN] bf16 — block-diagonal x-lerp rows
+        (zero rows for padding points).
+      gfused: [S, NCH, CHUNK, LANES] bf16 — cotangent in y-fused channels.
+      rows, wpad: gradient-map extent per slab.
+
+    Returns [S, rows, wpad, LANES] float32.
+    """
+    S, NCH = rowxb.shape[0], rowxb.shape[1]
+    return pl.pallas_call(
+        _kernel,
+        grid=(S, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, chunk), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, chunk, GROUP * WIN), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, LANES), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, wpad, LANES),
+                               lambda s, ch: (s, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, rows, wpad, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(rowxb, amat, gfused)
+
+
+def build_lerp_rows(o: jax.Array, wx: jax.Array) -> jax.Array:
+    """Block-diagonal A rows: [..., CHUNK, GROUP*WIN] bf16 with (1-wx) at
+    group-local column p*WIN + o and wx at p*WIN + o + 1."""
+    chunk = o.shape[-1]
+    grp = (jnp.arange(chunk, dtype=jnp.int32) % GROUP)[..., None]
+    col = jnp.arange(GROUP * WIN, dtype=jnp.int32)
+    tgt = grp * WIN + o[..., None]
+    a = jnp.where(col == tgt, (1.0 - wx)[..., None], 0.0) + jnp.where(
+        col == tgt + 1, wx[..., None], 0.0)
+    return a.astype(jnp.bfloat16)
+
+
+def pad_chunks(x: jax.Array, kpad: int, fill=0):
+    """Pad the last axis of [S, K] to kpad."""
+    K = x.shape[-1]
+    if K == kpad:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, kpad - K)]
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def chunk_layout(K: int, max_chunk: int = 1200):
+    """Pick (chunk, nch, kpad) for K points per slab."""
+    if K >= max_chunk:
+        nch = int(np.ceil(K / max_chunk))
+        return max_chunk, nch, max_chunk * nch
+    chunk = int(np.ceil(K / GROUP)) * GROUP
+    return chunk, 1, chunk

@@ -64,3 +64,43 @@ def test_front_only_filter():
     # perfect predictions stay perfect under consistent filtering
     assert m_front["mAP"] > 0.9
     assert abs(m_front["NDS"] - m_all["NDS"]) < 0.1
+
+
+def test_class_range_filter_drops_far_boxes():
+    """Per-class detection range (devkit class_range): a far-away GT/pred
+    pair beyond the class range is excluded from matching entirely."""
+    preds, gts = make_perfect_case(n_samples=1, n_per=4)
+    # move one matched pair out to 60 m (beyond every class range)
+    preds[0]["bboxes"][0, 0:2] = (60.0, 0.0)
+    gts[0]["bboxes"][0, 0:2] = (60.0, 0.0)
+    m = nuscenes_metrics(preds, gts)
+    assert m["mAP"] > 0.9  # remaining in-range pairs still perfect
+
+    # but a far FALSE prediction also cannot hurt precision
+    preds[0]["bboxes"][0, 0:2] = (60.0, 0.0)
+    gts[0]["bboxes"][0, 0:2] = (0.0, 0.0)  # gt moved in-range, now unmatched
+    m2 = nuscenes_metrics(preds, gts)
+    assert m2["mAP"] < m["mAP"]  # unmatched in-range GT lowers recall
+
+
+def test_attribute_error_when_provided():
+    preds, gts = make_perfect_case(n_samples=2, n_per=5)
+    for p, g in zip(preds, gts):
+        g["attrs"] = np.zeros(len(g["labels"]), np.int64)
+        p["attrs"] = np.zeros(len(p["labels"]), np.int64)
+    m = nuscenes_metrics(preds, gts)
+    assert m["mAAE"] < 0.01
+    # wrong attributes => max error
+    for p in preds:
+        p["attrs"][:] = 3
+    m2 = nuscenes_metrics(preds, gts)
+    assert m2["mAAE"] > 0.9
+
+
+def test_num_pts_filter():
+    preds, gts = make_perfect_case(n_samples=1, n_per=4)
+    gts[0]["num_pts"] = np.array([0, 5, 5, 5])  # first GT has no points
+    # remove the matching pred too so precision stays clean
+    preds[0]["valid"][0] = False
+    m = nuscenes_metrics(preds, gts)
+    assert m["mAP"] > 0.9
