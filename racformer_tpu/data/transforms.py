@@ -32,16 +32,23 @@ class ImageAug:
     def sample(cls, rng: np.random.Generator, ida_cfg: dict, training: bool):
         fH, fW = ida_cfg["final_dim"]
         H, W = ida_cfg.get("src_dim", (900, 1600))
+        bot_lim = ida_cfg.get("bot_pct_lim", (0.0, 0.0))
         if training:
             resize = rng.uniform(*ida_cfg["resize_lim"])
             newW, newH = int(W * resize), int(H * resize)
-            crop_h = int(rng.uniform(0.0, max(0, newH - fH)))
-            crop_w = int(rng.uniform(0, max(0, newW - fW + 1)))
+            # bottom-anchored crop (BEVStereo convention, ref transforms.py:325):
+            # crop_h = (1 - u) * newH - fH with u ~ U(bot_pct_lim); at the
+            # default (0, 0) this deterministically keeps the bottom fH rows.
+            crop_h = int((1.0 - rng.uniform(*bot_lim)) * newH) - fH
+            crop_w = int(rng.uniform(0, max(0, newW - fW)))
             flip = bool(ida_cfg.get("rand_flip", False) and rng.uniform() < 0.5)
         else:
-            resize = max(fH / H, fW / W) + 0.04  # test-time: mmdet-style mean resize
+            # test-time: exact max-fit resize, bottom crop centered horizontally
+            # (ref transforms.py:333-337; the released ckpt was evaluated with
+            # this exact crop, so no fudge terms).
+            resize = max(fH / H, fW / W)
             newW, newH = int(W * resize), int(H * resize)
-            crop_h = int(max(0, newH - fH) / 2)
+            crop_h = int((1.0 - float(np.mean(bot_lim))) * newH) - fH
             crop_w = int(max(0, newW - fW) / 2)
             flip = False
         crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)

@@ -53,6 +53,20 @@ def test_image_aug_geometry(rng):
     assert np.isclose(got[1], v * aug.resize - aug.crop[1])
 
 
+def test_image_aug_reference_crop(rng):
+    """The exact BEVStereo crop convention the released model was trained
+    with (ref transforms.py:314-341): bottom-anchored crop_h = newH - fH at
+    bot_pct_lim=(0,0); test-time resize is exactly max(fH/H, fW/W)."""
+    cfg = dict(resize_lim=(0.5, 0.5), final_dim=(256, 704),
+               src_dim=(900, 1600), bot_pct_lim=(0.0, 0.0), rand_flip=False)
+    tr = ImageAug.sample(rng, cfg, training=True)
+    assert tr.resize == 0.5
+    assert tr.crop[1] == int(900 * 0.5) - 256  # bottom-anchored
+    te = ImageAug.sample(rng, cfg, training=False)
+    assert np.isclose(te.resize, 0.44)  # max(256/900, 704/1600), no fudge
+    assert te.crop == (0, int(900 * 0.44) - 256, 704, int(900 * 0.44))
+
+
 def test_bev_aug_box_transform(rng):
     T, ang, scale = bev_rot_scale_aug(rng)
     boxes = np.array([[10.0, 0, 0, 2, 4, 1.5, 0.3, 1.0, 0.0]], np.float32)
