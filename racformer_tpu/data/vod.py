@@ -105,12 +105,19 @@ class VoDDataset:
                 pts[:n] = raw[:n]
                 mask[:n] = True
 
+        # rasterize the radar hits into the column-smeared depth/RCS maps the
+        # radar-assisted DepthNet consumes (same op as nuScenes,
+        # ref `loaders/pipelines/loading.py:522-548`)
+        from .depth_maps import radar_to_depth_rcs_maps
+
+        dmap, rmap = radar_to_depth_rcs_maps(pts[mask], l2i, (H, W))
+
         sample = dict(
             imgs=img[None, None],  # [T=1, N=1, H, W, 3]
             radar_points=pts[None],
             radar_mask=mask[None],
-            radar_depth=np.zeros((1, 1, H, W), np.float32),
-            radar_rcs=np.full((1, 1, H, W), -1000.0, np.float32),
+            radar_depth=dmap[None, None],
+            radar_rcs=rmap[None, None],
             lidar2img=l2i[None, None],
             img2lidar=np.linalg.inv(l2i)[None, None].astype(np.float32),
             time_diff=np.zeros((1,), np.float32),

@@ -77,3 +77,34 @@ def test_vod_dataset_reader(tmp_path):
     assert s["gt_mask"].sum() == 2  # DontCare filtered
     assert s["gt_labels"][0] == 0 and s["gt_labels"][1] == 1
     assert s["lidar2img"].shape == (1, 1, 4, 4)
+
+
+def test_vod_radar_maps_rasterized(tmp_path):
+    """Radar hits must land in the depth/RCS maps the DepthNet consumes
+    (column-smear rasterizer, ref loading.py:522-548) — not stay zeroed."""
+    radar = np.zeros((3, 7), np.float32)
+    radar[:, 0:3] = [[0.0, 1.5, 10.0], [2.0, 1.5, 8.0], [-1.0, 0.0, 20.0]]
+    radar[:, 3] = [5.0, 7.5, 1.0]  # RCS
+    rp = tmp_path / "r.bin"
+    radar.tofile(rp)
+    infos = [dict(
+        image=dict(image_idx=1, image_path=None),
+        calib=dict(
+            P2=np.array([[50, 0, 64, 0], [0, 50, 32, 0], [0, 0, 1, 0]], float),
+            # identity extrinsics: points are already camera-frame (x right,
+            # y down, z forward) so depth = z
+            Tr_velo_to_cam=np.eye(4),
+            R0_rect=np.eye(4),
+        ),
+        radar_path=str(rp),
+    )]
+    p = tmp_path / "vod_infos.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(infos, f)
+    s = VoDDataset(str(p), image_hw=(64, 128), max_radar_points=8, max_gt=4)[0]
+    dm, rm = s["radar_depth"][0, 0], s["radar_rcs"][0, 0]
+    # point 0: u = 50*0/10 + 64 = 64, depth 10, rcs 5; smeared down the column
+    assert np.allclose(dm[:, 64], 10.0)
+    assert np.allclose(rm[:, 64], 5.0)
+    # untouched columns stay at the fill values
+    assert dm[:, 0].sum() == 0 and np.allclose(rm[:, 0], -1000.0)

@@ -106,6 +106,17 @@ def main():
             max_radar_points=cfg.radar["max_points"],
             max_gt=model.max_gt,
         )
+    elif cfg.get("dataset_type") == "vod":
+        from racformer_tpu.data.vod import VoDDataset
+
+        dataset = VoDDataset(
+            ann,
+            data_root=cfg.data["train"].get("data_root", ""),
+            image_hw=model.image_hw,
+            max_radar_points=cfg.radar["max_points"],
+            max_gt=model.max_gt,
+            training=True,
+        )
     else:
         dataset = NuScenesRadarDataset(
             ann,
