@@ -1,0 +1,41 @@
+"""Multi-host input partitioning.
+
+The reference trains with torch DDP + DistributedGroupSampler (one rank per
+GPU, `/root/reference/train.py:93,140`); the TPU-native equivalent is a
+deterministic per-process slice of each global batch: every process loads
+only its `global_batch / process_count` samples and contributes them to the
+globally-sharded array via `jax.make_array_from_process_local_data`
+(train.py `put_batch`). This module holds the pure index math so it is
+testable without a multi-process runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+
+def host_batch_indices(
+    order: Sequence[int],
+    step: int,
+    global_batch: int,
+    n_proc: int,
+    proc_idx: int,
+) -> list:
+    """Dataset indices this process loads for `step`.
+
+    The union over proc_idx in [0, n_proc) is exactly the contiguous window
+    `order[step*global_batch : (step+1)*global_batch]` (wrapping), disjoint
+    across processes and ordered so process p holds global batch rows
+    [p*local, (p+1)*local) — matching the row layout
+    `make_array_from_process_local_data` assembles.
+    """
+    if global_batch % n_proc:
+        raise ValueError(f"global_batch {global_batch} not divisible by "
+                         f"process_count {n_proc}")
+    local = global_batch // n_proc
+    off = proc_idx * local
+    n = len(order)
+    return [int(order[(step * global_batch + off + i) % n])
+            for i in range(local)]

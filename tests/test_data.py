@@ -138,6 +138,70 @@ def test_nuscenes_reader_fabricated(tmp_path, rng):
     assert (s["time_diff"][1:] >= 0).all()
 
 
+def test_nuscenes_reader_realistic(tmp_path, rng):
+    """Full-schema fixture: JPEG files on disk, sensor2lidar extrinsics +
+    intrinsics (the `build_lidar2img` branch, ref nuscenes_dataset.py:236-266),
+    microsecond timestamps, scene tokens. Checks the assembled lidar2img
+    projects a lidar point to the ida-scaled pixel and the images really load."""
+    from PIL import Image as PILImage
+
+    srcH, srcW = 128, 256
+    # camera looks along lidar +x: columns of R are the camera axes in lidar
+    R = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float64)
+    t = np.array([0.0, 0.0, 1.6])
+    K = np.array([[100.0, 0, srcW / 2], [0, 100.0, srcH / 2], [0, 0, 1]])
+
+    def cam(ts, color):
+        p = tmp_path / f"img_{ts}_{color}.jpg"
+        PILImage.new("RGB", (srcW, srcH), color).save(p, quality=95)
+        return dict(sensor2lidar_rotation=R, sensor2lidar_translation=t,
+                    cam_intrinsic=K, timestamp=ts, data_path=str(p))
+
+    base = 1_600_000_000_000_000  # us epoch, nuScenes convention
+    infos = [dict(
+        token=f"tok{i}", scene_token="scene-0001",
+        timestamp=base + 500_000 * i,
+        cams={"CAM_FRONT": cam(base + 500_000 * i, (200, 30, 30))},
+        sweeps_cam=[dict(
+            cams={"CAM_FRONT": cam(base + 500_000 * i - 500_000 * (j + 1),
+                                   (30, 200, 30))},
+            timestamp=base + 500_000 * i - 500_000 * (j + 1),
+            radar_points=rng.normal(size=(20, 7)).astype(np.float32))
+            for j in range(2)],
+        radar_points=rng.normal(size=(30, 7)).astype(np.float32) * 5,
+        gt_boxes=rng.normal(size=(3, 9)).astype(np.float32),
+        gt_labels=rng.integers(0, 10, size=(3,)),
+    ) for i in range(2)]
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos}, f)
+
+    ds = NuScenesRadarDataset(
+        str(pkl), num_frames=2, frame_interval=1,
+        camera_types=("CAM_FRONT",), image_hw=(64, 128),
+        ida_cfg=dict(resize_lim=(0.5, 0.5), final_dim=(64, 128),
+                     src_dim=(srcH, srcW), bot_pct_lim=(0.0, 0.0),
+                     rand_flip=False),
+        max_radar_points=64, max_gt=8, training=False,
+    )
+    s = ds[1]
+    # image content made it through decode + resize (BGR: red -> high ch 2)
+    cur = s["imgs"][0, 0]
+    assert cur[:, :, 2].mean() > 150 and cur[:, :, 0].mean() < 80
+    hist = s["imgs"][1, 0]
+    assert hist[:, :, 1].mean() > 150  # history frame is the green JPEG
+    # geometry: lidar (10, 0, 1.6) sits on the optical axis -> principal
+    # point scaled by the test-time ida resize (0.5, crop 0)
+    p = s["lidar2img"][0, 0] @ np.array([10.0, 0, 1.6, 1.0])
+    u, v = p[0] / p[2], p[1] / p[2]
+    assert np.isclose(u, srcW / 2 * 0.5, atol=1e-4)
+    assert np.isclose(v, srcH / 2 * 0.5, atol=1e-4)
+    assert s["scene"] == "scene-0001"
+    # time_diff: current frame mean ts minus each frame's ts, seconds
+    assert np.isclose(s["time_diff"][1], 0.5, atol=1e-6)
+    assert s["gt_mask"].sum() == 3
+
+
 def test_bev_aug_wired_consistent(tmp_path, rng):
     """With the global BEV aug on, the transformed GT boxes project through
     the transformed lidar2img to the same pixels as the raw GT through the

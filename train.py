@@ -209,10 +209,11 @@ def main():
         ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
         ema_step = jax.jit(ema_update, donate_argnums=(0,))
 
+    from racformer_tpu.train.hostdata import host_batch_indices
+
     order = np.random.default_rng(args.seed).permutation(len(dataset))
     n_proc = jax.process_count()
     local_batch = global_batch // n_proc
-    proc_off = jax.process_index() * local_batch
 
     def put_batch(sample):
         """Shard the host batch onto the mesh; on multi-host each process
@@ -229,10 +230,8 @@ def main():
         return out
 
     def step_indices(step):
-        return [
-            int(order[(step * global_batch + proc_off + i) % len(dataset)])
-            for i in range(local_batch)
-        ]
+        return host_batch_indices(order, step, global_batch, n_proc,
+                                  jax.process_index())
 
     # async input pipeline: sample loading in worker threads, batch k+1
     # device_put while step k runs (the reference uses 4 DataLoader worker
