@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN = 16          # window width: covers x, x+1 for any (x//8)*8 start
-GROUP = 8         # points per MXU expansion
+GROUP = 16        # points per MXU expansion (swept on v5e: 16 -> 7.9 ns/patch
+                  # vs 41 at 8 and 33 at 32, docs/experiments/pallas_scatter_v1.py)
 LANES = 128       # y-fused channels (2C); all sampling call sites have C=64
 
 
