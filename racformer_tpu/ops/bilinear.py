@@ -82,7 +82,12 @@ def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
     """One (1, 1, 2, 2C) slice per point from the y-fused map.
 
     fused: [NS, R0, Wp, 2C]; index arrays share a batch shape.
-    Returns [*batch, 2, 2C]."""
+    Returns [*batch, 2, 2C].
+
+    NOTE (measured, v5e): keep the (view, y, x) triple-index form. A
+    single-linear-index variant over the flattened [NS*R0*Wp, 2C] operand
+    with slice_sizes=(2, C2) looks cheaper on paper (no 3-column index
+    interleave) but hits an XLA slow path that cost ~50x end-to-end."""
     C2 = fused.shape[-1]
     batch_shape = view.shape
     idx = jnp.stack(
@@ -116,10 +121,16 @@ def _lerp_patch(patch: jax.Array, wx: jax.Array, wy: jax.Array) -> jax.Array:
 def _patch_sample(fused, view, y0p, x0p, wx, wy):
     """Fused-map bilinear sample with a hand-written backward.
 
-    Forward is the plain XLA patch gather + lerp. The backward replaces XLA's
-    gather transpose (a ~4.6 us/patch scatter-add on v5e) with the Pallas
-    VMEM-resident scatter kernel (~41 ns/patch, `ops/scatter_kernel.py`) —
-    the TPU counterpart of the reference's hand-written CUDA backward
+    Forward is the plain XLA patch gather + lerp: XLA's native gather reads
+    only the touched cache lines of the (up to ~600 MB) fused maps, which
+    measured FASTER end-to-end than the Pallas VMEM-resident gather
+    (`ops/gather_kernel.py`, kept for dense-point call sites) — that kernel
+    must stream each full map HBM->VMEM per call, and the decoder samples
+    each map 6 times per frame. The backward is the opposite story: XLA's
+    gather transpose is a ~4.6 us/patch serialized scatter-add, so it is
+    replaced with the Pallas VMEM-resident scatter kernel
+    (`ops/scatter_kernel.py`, ~8 ns/patch) — the TPU counterpart of the
+    reference's hand-written CUDA backward
     (`models/csrc/msmv_sampling/msmv_sampling_backward.cu:68-104`).
     """
     return _lerp_patch(_gather_patch(fused, view, y0p, x0p), wx, wy)

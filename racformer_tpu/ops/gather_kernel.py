@@ -1,0 +1,155 @@
+"""Pallas TPU gather kernel: the forward of the bilinear patch sample.
+
+TPU counterpart of the reference's fused CUDA sampler
+(`models/csrc/msmv_sampling/msmv_sampling_forward.cu:27-164` and mmcv's
+`ms_deform_attn` forward): for each point, fetch the 2x2 bilinear patch and
+apply the x-lerp, returning the y-fused (top-row / bottom-row in channel
+halves) value; the cheap y-mix happens in XLA.
+
+Design notes (all measured on v5e, docs/experiments/pallas_gather_v5.py and
+the production profile):
+  - operand is the y-fused map [S, R, Wpad, 128] bf16 — one row per patch —
+    resident in VMEM per grid slab,
+  - kernel inputs avoid the tiny-lane layouts XLA stages pathologically
+    (measured 27 ms of async scratch slices for a 40 ms call): (row, xb)
+    pack into ONE int32 SMEM word per point and (offset + wx) into one f32,
+  - per point, the 8-aligned window `val[row, xb:xb+16, :]` is staged RAW
+    into a [GROUP, WIN, 128] scratch; the x-lerp is ONE bulk
+    multiply + sublane reduction per group (w built once per group from a
+    lane->sublane transpose of the fused offsets).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scatter_kernel import WIN, pad_chunks
+
+GROUP = 128  # points per reduction row; scratch = [WIN, GROUP*128]; dynamic
+             # lane starts must be 128-aligned on Mosaic, so GROUP >= 128
+LANES = 128  # y-fused channels (2C); all production call sites have C=64
+
+
+def _chunk_layout(K: int, max_chunk: int = 4864):
+    """(chunk, nch, kpad) with chunk a multiple of this kernel's GROUP."""
+    if K >= max_chunk:
+        nch = int(np.ceil(K / max_chunk))
+        return max_chunk, nch, max_chunk * nch
+    chunk = int(np.ceil(K / GROUP)) * GROUP
+    return chunk, 1, chunk
+
+
+def _kernel(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
+    chunk = packed_ref.shape[3]
+
+    def body(g, _):
+        base = pl.multiple_of(g * GROUP, GROUP)
+        for j in range(GROUP):
+            v = packed_ref[0, 0, 0, base + j]
+            row = jax.lax.shift_right_logical(v, 16)
+            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
+            scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
+        of = of_ref[0, 0, 0:1, pl.ds(base, GROUP)]           # [1, G] lanes
+        ofc = jnp.transpose(of, (1, 0))                      # [G, 1] sublanes
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, WIN), 1).astype(jnp.float32)
+        # bilinear hat: w[c] = relu(1 - |c - (o + wx)|) puts exactly 1-wx at
+        # column o and wx at o+1, zero elsewhere — no boolean masks (Mosaic
+        # cannot relayout the i1 compare results these shapes need)
+        w = jnp.maximum(1.0 - jnp.abs(col - ofc), 0.0)       # [G, WIN]
+        acc = jnp.sum(
+            scratch_ref[:, :, :] * w[:, :, None].astype(scratch_ref.dtype),
+            axis=1)                                          # [G, LANES]
+        out_ref[0, 0, pl.ds(base, GROUP), :] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // GROUP, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def gather_patch_rows(
+    packed: jax.Array,
+    of: jax.Array,
+    val: jax.Array,
+    chunk: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """x-lerped single-row patch fetches from per-slab y-fused maps.
+
+    Args:
+      packed: [S, NCH, 1, CHUNK] int32 — (row << 16) | window_start per
+        point; row folds any sub-slab axis (head / camera view) the caller
+        folded into its gather index, window_start is 8-aligned.
+      of: [S, NCH, 1, CHUNK] float32 — x offset within the window + wx.
+      val: [S, R, Wpad, LANES] — y-fused feature map, Wpad >= window end.
+
+    Returns [S, NCH, CHUNK, LANES] in val.dtype. Padding points return
+    garbage rows the caller slices off.
+    """
+    S, NCH = packed.shape[0], packed.shape[1]
+    R, WPAD = val.shape[1], val.shape[2]
+    return pl.pallas_call(
+        _kernel,
+        grid=(S, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, chunk), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, chunk), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, WPAD, LANES), lambda s, ch: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, chunk, LANES),
+                               lambda s, ch: (s, ch, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, NCH, chunk, LANES), val.dtype),
+        scratch_shapes=[pltpu.VMEM((GROUP, WIN, LANES), val.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(packed, of, val)
+
+
+def patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
+    """Drop-in forward for `ops.bilinear._patch_sample`: same (fused, view,
+    y0p, x0p) contract as the XLA `_gather_patch` + `_lerp_patch` pair, with
+    the gather + x-lerp in the Pallas kernel and only the y half-mix in XLA.
+
+    Requires fused LANES channels (=128) and the blocked-views layout
+    (points with leading batch index s only touch slabs [s*J, (s+1)*J)).
+    """
+    NS, R0, Wp, C2 = fused.shape
+    assert C2 == LANES, C2
+    S = view.shape[0]
+    J = NS // S
+    K = int(np.prod(view.shape[1:]))
+    wpad = int(np.ceil((Wp + WIN - 2) / 8)) * 8
+    chunk, nch, kpad = _chunk_layout(K)
+
+    val = fused.reshape(S, J * R0, Wp, C2)
+    if wpad != Wp:
+        val = jnp.pad(val, [(0, 0), (0, 0), (0, wpad - Wp), (0, 0)])
+
+    def prep(a):
+        return pad_chunks(a.reshape(S, K), kpad).reshape(S, nch, chunk)
+
+    row = (view.reshape(S, K) % J) * R0 + y0p.reshape(S, K)
+    xb = (x0p.reshape(S, K) // 8) * 8
+    o = (x0p.reshape(S, K) - xb).astype(jnp.float32)
+    packed = prep((row << 16) | xb)[:, :, None]
+    of = prep(o + wx.reshape(S, K).astype(jnp.float32))[:, :, None]
+
+    interpret = jax.default_backend() == "cpu"
+    res = gather_patch_rows(packed, of, val, chunk, interpret)
+    res = res.reshape(S, nch * chunk, C2)[:, :K]
+    res = res.reshape(*view.shape, C2)
+
+    C = C2 // 2
+    wyd = wy.astype(res.dtype)[..., None]
+    return res[..., :C] * (1 - wyd) + res[..., C:] * wyd

@@ -1,10 +1,12 @@
-"""Gradient equivalence of the custom-VJP sampling path (Pallas scatter
-backward, `ops/scatter_kernel.py`) vs plain XLA autodiff.
+"""Equivalence of the custom-VJP sampling path (Pallas gather forward,
+`ops/gather_kernel.py`; Pallas scatter backward, `ops/scatter_kernel.py`)
+vs the plain XLA gather + autodiff path.
 
-The forward is bit-identical by construction (same XLA gather); these tests
-check the hand-written backward against jax.grad of the autodiff path for
-features, locations, and through the weighted aggregations used by the
-deform-attn and msmv call sites. On CPU the kernel runs in interpret mode.
+The forward agrees to 1 ULP (the kernel's multiply-then-reduce contracts
+differently than XLA's fused lerp); the backward tests check the
+hand-written VJP against jax.grad of the autodiff path for features,
+locations, and through the weighted aggregations used by the deform-attn
+and msmv call sites. On CPU both kernels run in interpret mode.
 """
 
 import functools
@@ -45,7 +47,8 @@ def test_forward_identical(data):
     feat, view, x, y, _ = data
     a = _run(feat, view, x, y, True)
     b = _run(feat, view, x, y, False)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=2e-6)  # few-ULP FMA contraction
 
 
 def test_grad_feat_matches_autodiff(data):
