@@ -56,6 +56,37 @@ def match_cost(cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_mask,
     return jnp.where(gt_mask[None, :], cost, BIG)
 
 
+def match_cost_cartesian(cls_scores, bbox_preds, gt_bboxes, gt_labels,
+                         gt_mask, code_weights=None, cls_weight=2.0,
+                         reg_weight=0.25, with_velo=True, alpha=0.25,
+                         gamma=2.0):
+    """Non-polar `HungarianAssigner3D` cost
+    (`/root/reference/models/bbox/assigners/hungarian_assigner_3d.py:16-97`):
+    focal classification + code-weighted L1 on cartesian normalized boxes,
+    no angular term; `with_velo=False` drops the velocity dims (first 8
+    only, ref `:64-67`). Same shapes/contract as :func:`match_cost`."""
+    eps = 1e-12
+    p = jax.nn.sigmoid(cls_scores)
+    pos_cost = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    neg_cost = -jnp.log(1 - p + eps) * (1 - alpha) * p ** gamma
+    cls_cost = (pos_cost - neg_cost)[:, gt_labels] * cls_weight  # [Q, G]
+
+    gt_norm = normalize_bbox(gt_bboxes)  # [G, 10]
+    pred_w, gt_w = bbox_preds, gt_norm
+    if code_weights is not None:
+        cw = jnp.asarray(code_weights)
+        pred_w = pred_w * cw
+        gt_w = gt_w * cw
+    d = 10 if with_velo else 8
+    reg_cost = jnp.sum(
+        jnp.abs(pred_w[:, None, :d] - gt_w[None, :, :d]), axis=-1
+    ) * reg_weight
+
+    cost = cls_cost + reg_cost
+    cost = jnp.nan_to_num(cost, nan=100.0, posinf=100.0, neginf=-100.0)
+    return jnp.where(gt_mask[None, :], cost, BIG)
+
+
 _INF = 1.0e18
 
 

@@ -39,6 +39,38 @@ def test_match_cost_invalid_columns(rng):
     assert m.shape == (G,)
 
 
+def test_match_cost_cartesian(rng):
+    """Non-polar HungarianAssigner3D cost (ref hungarian_assigner_3d.py):
+    no angular term, with_velo=False drops the velocity dims."""
+    from racformer_tpu.train.matching import match_cost_cartesian
+
+    Q, G = 8, 4
+    cls = rng.normal(size=(Q, 10)).astype(np.float32)
+    box = rng.normal(size=(Q, 10)).astype(np.float32)
+    gt = np.abs(rng.normal(size=(G, 9))).astype(np.float32) + 0.5
+    lab = rng.integers(0, 10, size=(G,))
+    mask = np.ones(G, bool)
+    cw = np.ones(10, np.float32)
+    c_velo = np.asarray(match_cost_cartesian(cls, box, gt, lab, mask, cw))
+    c_novel = np.asarray(match_cost_cartesian(cls, box, gt, lab, mask, cw,
+                                              with_velo=False))
+    assert np.isfinite(c_velo).all()
+    # removing velocity dims can only shrink the L1 part
+    assert (c_novel <= c_velo + 1e-5).all()
+    # manual check of one cell: focal cls + 0.25 * L1 over first 8 dims
+    from racformer_tpu.ops.bbox_codec import normalize_bbox as nb
+
+    gtn = np.asarray(nb(jnp.asarray(gt)))
+    p = 1 / (1 + np.exp(-cls[0, lab[1]]))
+    cls_c = 2.0 * ((-np.log(p + 1e-12) * 0.25 * (1 - p) ** 2)
+                   - (-np.log(1 - p + 1e-12) * 0.75 * p ** 2))
+    l1 = 0.25 * np.abs(box[0, :8] - gtn[1, :8]).sum()
+    np.testing.assert_allclose(c_novel[0, 1], cls_c + l1, rtol=1e-4)
+    # solver accepts it
+    m = np.asarray(hungarian_assign(jnp.asarray(c_novel)))
+    assert m.shape == (G,)
+
+
 def test_sigmoid_focal_background():
     """Background label (== num_classes) has no positive term."""
     logits = jnp.full((5, 10), -10.0)
