@@ -84,10 +84,15 @@ def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
     fused: [NS, R0, Wp, 2C]; index arrays share a batch shape.
     Returns [*batch, 2, 2C].
 
-    NOTE (measured, v5e): keep the (view, y, x) triple-index form. A
-    single-linear-index variant over the flattened [NS*R0*Wp, 2C] operand
-    with slice_sizes=(2, C2) looks cheaper on paper (no 3-column index
-    interleave) but hits an XLA slow path that cost ~50x end-to-end."""
+    NOTE (measured, v5e): keep the (view, y, x) triple-index form with the
+    narrow (1, 1, 2, 2C) slice. Both "cheaper-looking" reformulations hit
+    catastrophic XLA slow paths end-to-end: a single linear index over the
+    flattened [NS*R0*Wp, 2C] operand with slice (2, 2C) was ~50x slower,
+    and folding the x-pair into channels ([NS, R0, Wp*2C] with a contiguous
+    (1, 1, 2*2C) minor-dim slice) was ~100x slower — wide gather slices on
+    the minor dim do not take the fast gather path on this toolchain, even
+    though the triple-index form pays a W-major twisted operand layout and
+    a whole-output relayout copy."""
     C2 = fused.shape[-1]
     batch_shape = view.shape
     idx = jnp.stack(
