@@ -160,6 +160,7 @@ _VT = "img_lss_view_transformer"
 _DN = f"{_VT}.depth_net"
 _DNP = f"{_VT}/depth_net"
 _rule(rf"{_DN}\.reduce_conv\.0\.weight$", f"params/{_DNP}/reduce_conv/conv/kernel", _conv)
+_rule(rf"{_DN}\.reduce_conv\.0\.bias$", f"params/{_DNP}/reduce_conv/conv/bias")
 _rule(rf"{_DN}\.reduce_conv\.1\.(weight|bias|running_mean|running_var)$",
       f"{{bn0}}/{_DNP}/reduce_conv/norm/{{bn1}}")
 _rule(rf"{_DN}\.context_conv\.(weight)$", f"params/{_DNP}/context_conv/kernel", _conv)
@@ -304,6 +305,15 @@ def _detector_rules(key: str):
     return None
 
 
+# state-dict entries with no flax counterpart BY DESIGN: recomputed from the
+# config (frustum, code_weights) or pure bookkeeping (BN step counters).
+IGNORED_KEYS = (
+    re.compile(r"\.num_batches_tracked$"),
+    re.compile(r"^img_lss_view_transformer\.frustum$"),
+    re.compile(r"^pts_bbox_head\.code_weights$"),
+)
+
+
 def convert_state_dict(state_dict: Dict[str, np.ndarray], variables: Dict,
                        strict: bool = False) -> Tuple[Dict, list]:
     """Write torch weights into a (copied) flax variables dict.
@@ -317,6 +327,8 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], variables: Dict,
     out = copy.deepcopy(jax_tree_to_numpy(variables))
     unmatched = []
     for key, val in state_dict.items():
+        if any(p.search(key) for p in IGNORED_KEYS):
+            continue
         val = np.asarray(val)
         targets = []  # list of (path, transformed value)
         rule = None

@@ -59,6 +59,35 @@ def test_backbone_conversion_numerics(rng):
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
+def test_full_reference_keyset_zero_unmatched():
+    """THE parity gate for the released checkpoint: a fabricated state dict
+    with the reference model's EXACT key set (independently derived from the
+    reference sources in tests/reference_keyset.py, flagship shapes) must
+    convert with ZERO unmatched keys into the full-size flagship variables."""
+    import __graft_entry__ as ge
+    from racformer_tpu.model import preprocess_images
+    from tests.reference_keyset import full_reference_keyset
+
+    model = ge._flagship_model(train=False)
+    batch = ge._example_batch(model)
+    arg_keys = ("radar_points", "radar_mask", "radar_depth", "radar_rcs",
+                "lidar2img", "img2lidar", "time_diff")
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        preprocess_images(jnp.asarray(batch["imgs"])),
+        *[jnp.asarray(batch[k]) for k in arg_keys],
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, np.float32), shapes)
+
+    keyset = full_reference_keyset()
+    assert len(keyset) > 500, len(keyset)  # sanity: a real R50 checkpoint
+    sd = {k: np.ones(shape, np.float32) for k, shape in keyset.items()}
+
+    converted, unmatched = convert_state_dict(sd, variables, strict=False)
+    assert unmatched == [], (len(unmatched), unmatched[:25])
+
+
 def test_detector_conversion_subset(rng):
     """Representative detector-module keys land in the right flax leaves with
     the right layout transforms."""
