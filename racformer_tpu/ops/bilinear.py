@@ -203,6 +203,27 @@ def _patch_sample_bwd(res, g):
 _patch_sample.defvjp(_patch_sample_fwd, _patch_sample_bwd)
 
 
+@jax.custom_vjp
+def _patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
+    """`_patch_sample` with the Pallas gather forward (`ops/gather_kernel.py`).
+
+    Only profitable where the fused map is small relative to the point count
+    (the kernel streams the whole map HBM->VMEM per call): the BEV
+    deform-attn sites (~142 MB map, 576k points/call) qualify; the image
+    radial sampler (~600 MB level-0 map) does not."""
+    from .gather_kernel import patch_sample_pallas
+
+    return patch_sample_pallas(fused, view, y0p, x0p, wx, wy)
+
+
+def _patch_sample_pallas_fwd(fused, view, y0p, x0p, wx, wy):
+    out = _patch_sample_pallas(fused, view, y0p, x0p, wx, wy)
+    return out, (fused, view, y0p, x0p, wx, wy)
+
+
+_patch_sample_pallas.defvjp(_patch_sample_pallas_fwd, _patch_sample_bwd)
+
+
 def bilinear_sample_views_nhwc(
     feat: jax.Array,
     view: jax.Array,
@@ -211,6 +232,7 @@ def bilinear_sample_views_nhwc(
     pre_padded: bool = False,
     custom_grad: bool = True,
     blocked_views: bool = False,
+    pallas_forward: bool = False,
 ) -> jax.Array:
     """Sample `feat` [N, H, W, C] at (view, x, y); view is an int index.
 
@@ -262,7 +284,11 @@ def bilinear_sample_views_nhwc(
         # index s only reference slabs [s*J, (s+1)*J) where J = N / batch —
         # true for both production view foldings (deform: slab*M + head,
         # msmv: slab*N + camera), asserted nowhere at runtime.
-        return _patch_sample(fused, jnp.broadcast_to(view, x.shape), y0p,
-                             x0p, wx[..., 0], wy[..., 0])
+        # pallas_forward additionally swaps the XLA gather for the
+        # VMEM-resident kernel — only for dense-point/small-map call sites
+        # (see _patch_sample_pallas).
+        fn = _patch_sample_pallas if pallas_forward else _patch_sample
+        return fn(fused, jnp.broadcast_to(view, x.shape), y0p,
+                  x0p, wx[..., 0], wy[..., 0])
     patch = _gather_patch(fused, jnp.broadcast_to(view, x.shape), y0p, x0p)
     return _lerp_patch(patch, wx[..., 0], wy[..., 0])

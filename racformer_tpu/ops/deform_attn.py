@@ -62,8 +62,16 @@ def deform_attn_single_level(
     slab = jnp.arange(S, dtype=jnp.int32)[:, None, None, None]
     sm = slab * M + head[None]
     val4 = val_h.reshape(S * M, *val_h.shape[2:])
+    # BEV maps are small + points dense, the profile where the VMEM-resident
+    # gather kernel can beat the XLA gather (the image sampler always keeps
+    # XLA — its level-0 map is ~600 MB per stream). Env-switchable because
+    # the shared dev tunnel's run-to-run variance demands same-process A/B.
+    import os
+
+    use_pallas = os.environ.get("RACFORMER_BEV_PALLAS", "0") == "1"
     out = bilinear_sample_views_nhwc(
-        val4, sm, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True
+        val4, sm, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
+        pallas_forward=use_pallas,
     )
     out = jnp.sum(out * weights[..., None].astype(out.dtype), axis=3)  # [S, Q, M, c]
     return out.reshape(S, Q, M * c)
