@@ -69,9 +69,14 @@ def project_points_to_views(
     )  # [B, T, N, Q, P]
     # keep at most one valid view: argmax over N (first valid wins)
     view = jnp.argmax(valid, axis=2).astype(jnp.int32)  # [B, T, Q, P]
-    sel = lambda a: jnp.take_along_axis(a, view[:, :, None, :, :], axis=2)[:, :, 0]
-    x_sel = sel(x_norm)
-    y_sel = sel(y_norm)
+    # select via a one-hot contraction over the small N axis instead of
+    # take_along_axis: the gather form cost ~56 ms/step of scratch-staged
+    # 1-D fusions in the decode profile; this is a pure vectorized
+    # multiply+reduce over N=6
+    oh = (jnp.arange(N, dtype=jnp.int32)[None, None, :, None, None]
+          == view[:, :, None, :, :]).astype(x_norm.dtype)  # [B, T, N, Q, P]
+    x_sel = jnp.sum(x_norm * oh, axis=2)
+    y_sel = jnp.sum(y_norm * oh, axis=2)
     v_pack = view.astype(x_sel.dtype) / max(N - 1, 1)
     return jnp.stack([x_sel, y_sel, v_pack], axis=-1)
 
