@@ -80,15 +80,23 @@ class BEVCrossFrameAttention(nn.Module):
     def __call__(self, query, value, loc, weights, train: bool = False):
         """query: [B, Q, C]; value: [B*T, M, Hp, Wp, c] pre-projected,
         head-major and zero-bordered (:class:`BEVValueProj`);
-        loc: [B, Q, M, T, P, 2] in [0, 1]; weights: [B, Q, M, T, P]."""
+        loc: an (x, y) tuple of [B, Q, M, T, P] arrays in [0, 1] (kept
+        unstacked for layout, see BEVSampling) or a stacked
+        [B, Q, M, T, P, 2]; weights: [B, Q, M, T, P]."""
         B, Q, C = query.shape
         T = self.num_frames
         M = self.num_heads
 
-        l = loc.transpose(0, 3, 1, 2, 4, 5).reshape(B * T, Q, M, -1, 2)
+        if isinstance(loc, tuple):
+            loc_x, loc_y = loc
+        else:
+            loc_x, loc_y = loc[..., 0], loc[..., 1]
+        lx = loc_x.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
+        ly = loc_y.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
         w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
 
-        out = deform_attn_single_level(value, l, w, pre_padded=True)  # [B*T, Q, C]
+        out = deform_attn_single_level(
+            value, None, w, pre_padded=True, loc_xy=(lx, ly))  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
         qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
@@ -149,18 +157,26 @@ class BEVSampling(nn.Module):
         xy = (xy - lo) / (hi - lo)
 
         td = xy_to_theta_d(xy)  # [B, Q, T, MPD, 2]
-        td = td.reshape(B, Q, T, M, P, D, 2)
         d_off = radial_offsets(
             query_feat,
             nn.Dense(D, dtype=jnp.float32, name="ray_points_offset"),
             d_region,
             D,
         )  # [B, Q, D]
-        td = td.at[..., 1].add(d_off[:, :, None, None, None, :])
-        td = td.reshape(B, Q, T, M, P * D, 2)
-        loc = theta_d_to_xy(td)  # normalized [0, 1] BEV coords
+        # stay UNSTACKED from here: the stacked trailing-2 form forced a
+        # dynamic-update-slice for the radial offset add plus stack/unstack
+        # round-trips with pathological {.., 2}-minor layouts (~46 ms/step
+        # of async slices in the decode profile)
+        theta = td[..., 0].reshape(B, Q, T, M, P, D)
+        dd = td[..., 1].reshape(B, Q, T, M, P, D) + d_off[
+            :, :, None, None, None, :]
+        from ..ops.bbox_codec import theta_d_pair_to_xy
 
-        loc = loc.transpose(0, 1, 3, 2, 4, 5)  # [B, Q, M, T, PD, 2]
+        loc_x, loc_y = theta_d_pair_to_xy(
+            theta.reshape(B, Q, T, M, P * D), dd.reshape(B, Q, T, M, P * D))
+        # [B, Q, M, T, PD] (normalized [0, 1] BEV coords)
+        loc_x = loc_x.transpose(0, 1, 3, 2, 4)
+        loc_y = loc_y.transpose(0, 1, 3, 2, 4)
 
         w = nn.Dense(M * 1 * D * P, dtype=jnp.float32, name="scale_weights")(query_feat)
         w = w.reshape(B, Q, M, 1, D * P)
@@ -173,4 +189,4 @@ class BEVSampling(nn.Module):
             self.num_frames,
             dtype=self.dtype,
             name="attention",
-        )(query_feat, bev_value, loc, w, train=train)
+        )(query_feat, bev_value, (loc_x, loc_y), w, train=train)

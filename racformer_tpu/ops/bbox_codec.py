@@ -82,6 +82,20 @@ def decode_bbox(bboxes: jax.Array, pc_range=None) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def theta_d_pair_to_xy(theta: jax.Array, d: jax.Array,
+                       map_size: float = 102.4, r: float = 65.0):
+    """Unstacked variant of :func:`theta_d_to_xy`: separate (theta, d)
+    arrays in, separate clamped (x, y) out. The hot BEV sampling path uses
+    this to avoid materializing trailing-2 stacked tensors (bad TPU
+    layouts) that are immediately unstacked again."""
+    center = map_size / 2.0
+    ang = theta * TWO_PI
+    rad = d * r
+    x = jnp.clip((center + rad * jnp.cos(ang)) / map_size, 0.0, 1.0)
+    y = jnp.clip((center + rad * jnp.sin(ang)) / map_size, 0.0, 1.0)
+    return x, y
+
+
 def theta_d_to_xy(theta_d: jax.Array, map_size: float = 102.4, r: float = 65.0) -> jax.Array:
     """Polar (theta, d) -> normalized BEV (x, y), both in [0, 1].
 
@@ -89,12 +103,9 @@ def theta_d_to_xy(theta_d: jax.Array, map_size: float = 102.4, r: float = 65.0) 
     The xy outputs are clamped to [0, 1]. Trailing channels pass through.
     Mirrors `theta_d2xy_coods` (`models/bbox/utils.py:82-90`).
     """
-    center = map_size / 2.0
-    ang = theta_d[..., 0:1] * TWO_PI
-    rad = theta_d[..., 1:2] * r
-    x = (center + rad * jnp.cos(ang)) / map_size
-    y = (center + rad * jnp.sin(ang)) / map_size
-    xy = jnp.clip(jnp.concatenate([x, y], axis=-1), 0.0, 1.0)
+    x, y = theta_d_pair_to_xy(theta_d[..., 0:1], theta_d[..., 1:2],
+                              map_size, r)
+    xy = jnp.concatenate([x, y], axis=-1)
     return jnp.concatenate([xy, theta_d[..., 2:]], axis=-1)
 
 

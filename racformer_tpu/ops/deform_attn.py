@@ -24,6 +24,7 @@ def deform_attn_single_level(
     loc: jax.Array,
     weights: jax.Array,
     pre_padded: bool = False,
+    loc_xy=None,
 ) -> jax.Array:
     """Args:
       value: [S, H, W, M, c] — S batch slabs (B * num_bev_queue), M heads,
@@ -31,7 +32,9 @@ def deform_attn_single_level(
         value is instead [S, M, H + 2*PAD, W + 2*PAD, c] (head-major,
         zero-bordered via `bilinear.pad_for_sampling`) — hoist that transform
         out of iteration loops.
-      loc: [S, Q, M, P, 2] — (x, y) sampling locations normalized to [0, 1].
+      loc: [S, Q, M, P, 2] — (x, y) sampling locations normalized to [0, 1];
+        alternatively pass `loc_xy` = (x, y) tuple of [S, Q, M, P] arrays
+        (the hot path: stacked trailing-2 tensors get pathological layouts).
       weights: [S, Q, M, P] — attention weights.
 
     Returns: [S, Q, M * c].
@@ -49,10 +52,14 @@ def deform_attn_single_level(
     else:
         S, H, W, M, c = value.shape
         val_h = value.transpose(0, 3, 1, 2, 4)  # [S, M, H, W, c]
-    Q, P = loc.shape[1], loc.shape[3]
+    if loc_xy is not None:
+        x_norm, y_norm = loc_xy
+    else:
+        x_norm, y_norm = loc[..., 0], loc[..., 1]
+    Q, P = x_norm.shape[1], x_norm.shape[3]
 
-    x_pix = loc[..., 0] * W - 0.5  # align_corners=False mapping
-    y_pix = loc[..., 1] * H - 0.5
+    x_pix = x_norm * W - 0.5  # align_corners=False mapping
+    y_pix = y_norm * H - 0.5
 
     # fold (slab, head) into one gather index: a single un-batched gather
     # (vmap adds operand batching dims that worsen XLA's layout choices)

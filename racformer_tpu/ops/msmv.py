@@ -46,7 +46,23 @@ def msmv_sample(
     # `msmv_sampling_forward.cu:110` (`round(loc_v * (N - 1))`).
     view = jnp.round(loc[..., 2] * (N - 1)).astype(jnp.int32)
     view = jnp.clip(view, 0, N - 1)
+    return msmv_sample_xyv(mlvl_feats, x_norm, y_norm, view, weights,
+                           pre_padded=pre_padded)
 
+
+def msmv_sample_xyv(
+    mlvl_feats: Sequence[jax.Array],
+    x_norm: jax.Array,
+    y_norm: jax.Array,
+    view: jax.Array,
+    weights: jax.Array,
+    pre_padded: bool = False,
+) -> jax.Array:
+    """`msmv_sample` with unstacked (x, y, view) — the hot path: the packed
+    trailing-3 loc tensor costs a stack/unstack round-trip (and a float
+    view-index quantization) that the stacked API only keeps for parity with
+    the reference's CUDA calling convention."""
+    N = mlvl_feats[0].shape[1]
     S = mlvl_feats[0].shape[0]
     slab = jnp.arange(S, dtype=jnp.int32)[:, None, None]
 

@@ -40,6 +40,7 @@ def project_points_to_views(
     image_h: int,
     image_w: int,
     eps: float = 1e-5,
+    packed: bool = True,
 ):
     """Project lidar-frame points into all camera views, pick <=1 valid view.
 
@@ -51,6 +52,11 @@ def project_points_to_views(
     packed view index v = view / (N - 1) (reference packing,
     `sparsebev_sampling.py:102-110`). When no view is valid the argmax picks
     view 0 whose location is out of [0, 1], so downstream zero-padding yields 0.
+
+    With `packed=False`, returns the tuple (x, y, view) of [B, T, Q, P]
+    arrays instead (view int32, unquantized) — the hot path: the stacked
+    trailing-3 tensor gets a pathological layout and is unstacked right
+    away by the sampler anyway.
     """
     B, T, Q, P, _ = points.shape
     N = lidar2img.shape[2]
@@ -77,6 +83,8 @@ def project_points_to_views(
           == view[:, :, None, :, :]).astype(x_norm.dtype)  # [B, T, N, Q, P]
     x_sel = jnp.sum(x_norm * oh, axis=2)
     y_sel = jnp.sum(y_norm * oh, axis=2)
+    if not packed:
+        return x_sel, y_sel, view
     v_pack = view.astype(x_sel.dtype) / max(N - 1, 1)
     return jnp.stack([x_sel, y_sel, v_pack], axis=-1)
 
@@ -105,10 +113,12 @@ def sample_image_features(
     C = mlvl_feats[0].shape[-1]
 
     pts = sample_points.transpose(0, 2, 1, 3, 4, 5).reshape(B, T, Q, G * P, 3)
-    loc = project_points_to_views(pts, lidar2img, image_h, image_w)
-    # -> [B*T*G, Q, P, 3]
-    loc = loc.reshape(B, T, Q, G, P, 3).transpose(0, 1, 3, 2, 4, 5)
-    loc = loc.reshape(B * T * G, Q, P, 3)
+    lx, ly, lv = project_points_to_views(pts, lidar2img, image_h, image_w,
+                                         packed=False)
+
+    def to_slabs(a):  # [B, T, Q, G*P] -> [B*T*G, Q, P]
+        return a.reshape(B, T, Q, G, P).transpose(0, 1, 3, 2, 4).reshape(
+            B * T * G, Q, P)
 
     # NOTE: the reference reshapes weights in (B, G, T) slab order while
     # features/locs use (B, T, G) (`sparsebev_sampling.py:113-120`) — a real
@@ -116,6 +126,9 @@ def sample_image_features(
     w = scale_weights.transpose(0, 2, 3, 1, 4, 5).reshape(B * G * T, Q, P, L)
 
     feats = [f.reshape(B * T * G, *f.shape[3:]) for f in mlvl_feats]
-    out = msmv_sample(feats, loc, w, pre_padded=pre_padded)  # [B*T*G, Q, P, C]
+    from .msmv import msmv_sample_xyv
+
+    out = msmv_sample_xyv(feats, to_slabs(lx), to_slabs(ly), to_slabs(lv),
+                          w, pre_padded=pre_padded)  # [B*T*G, Q, P, C]
     out = out.reshape(B, T, G, Q, P, C).transpose(0, 3, 2, 1, 4, 5)
     return out.reshape(B, Q, G, T * P, C)

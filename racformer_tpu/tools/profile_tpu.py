@@ -71,10 +71,21 @@ def parse_xplane(outdir: str) -> Dict[str, float]:
     return dict(byname)
 
 
+def _opcode(name: str) -> str:
+    """The HLO opcode of an 'XLA Ops' event name like
+    '%fusion.1 = bf16[...] fusion(...)' — match on THIS, not the full
+    string (operand text routinely contains other ops' names)."""
+    m = re.search(r"=\s*\S+\s+([\w-]+)\(", name)
+    if m:
+        return m.group(1)
+    m = re.match(r"%?([A-Za-z][\w-]*)", name)
+    return m.group(1) if m else name
+
+
 def categorize(byname: Dict[str, float]) -> Dict[str, float]:
     cat: Dict[str, float] = collections.Counter()
     for name, dur in byname.items():
-        n = name.lower()
+        n = _opcode(name).lower()
         for label, pat in _CATEGORIES:
             if re.search(pat, n):
                 cat[label] += dur
