@@ -157,10 +157,17 @@ class RaCFormer(nn.Module):
         # rather than per decode call: [SN, h, w, G*c] -> [S, G, N, h, w, c]
         G = self.num_groups
         c = self.embed_dims // G
+        from ..ops.bilinear import fuse_rows, pad_for_sampling
+
         fpn = [
             f.reshape(S, N, f.shape[1], f.shape[2], G, c).transpose(0, 4, 1, 2, 3, 5)
             for f in fpn
         ]
+        # emit SAMPLER-READY maps: zero-bordered + y-fused rows. Built here
+        # (per frame) so the streaming cache stores them and each step fuses
+        # only the newest frame's pyramid; the train path fuses each frame
+        # exactly once per step either way.
+        fpn = [fuse_rows(pad_for_sampling(f)) for f in fpn]
         lss_feat = self.img_lss_neck([c4, c5])  # [SN, H/16, W/16, C]
         hf, wf = lss_feat.shape[1], lss_feat.shape[2]
         lss_feat = lss_feat.astype(jnp.float32).reshape(S, N, hf, wf, self.embed_dims)

@@ -131,7 +131,7 @@ class RaCFormerDecoderLayer(nn.Module):
             self.num_levels, self.img_depth_num, self.pc_range,
             dtype=self.dtype, name="sampling",
         )(query_bbox, query_feat, mlvl_feats, lidar2img, time_diff,
-          self.image_hw, d_region, pre_padded=True)
+          self.image_hw, d_region, pre_fused=True)
 
         mixed = AdaptiveMixing(
             in_points=self.num_points * self.num_frames * self.img_depth_num,
@@ -197,11 +197,10 @@ class RaCFormerDecoder(nn.Module):
 
         from .conv_gru import RadarBEVTemporalEncoder
         from .bev_sampling import BEVValueProj
-        from ..ops.bilinear import pad_for_sampling
 
-        # zero-border the pyramid once (the samplers gather 2x2 patches from
-        # padded operands; done per-iteration XLA picks twisted layouts)
-        mlvl_feats = [pad_for_sampling(f) for f in mlvl_feats]
+        # the pyramid arrives pre-fused (zero-bordered, y-fused rows) from
+        # `RaCFormer.encode_frame`, so the streaming frame cache pays the
+        # map build only for the newest frame
 
         radar_bev = RadarBEVTemporalEncoder(
             embed_dims, dtype=self.dtype,

@@ -41,6 +41,7 @@ class ImageRadialSampling(nn.Module):
         image_hw: tuple,
         d_region,
         pre_padded: bool = False,
+        pre_fused: bool = False,
     ) -> jax.Array:
         """query_ray: [B, Q, 10] polar; mlvl_feats: L x [B, T, G, N, H, W, C];
         lidar2img: [B, T, N, 4, 4]; time_diff: [B, T]. Returns [B, Q, G, T*P*D, c]."""
@@ -78,21 +79,25 @@ class ImageRadialSampling(nn.Module):
         xy_n = (xy - lo) / (hi - lo)
 
         td = xy_to_theta_d(jnp.concatenate([xy_n, z], axis=-1))  # (theta, d, z)
-        td = td.reshape(B, Q, T, G, P, D, 3)
         d_off = radial_offsets(
             query_feat,
             nn.Dense(D, dtype=jnp.float32, name="ray_points_offset"),
             d_region,
             D,
         )
-        td = td.at[..., 1].add(d_off[:, :, None, None, None, :])
-        td = td.reshape(B, Q, T, G, P * D, 3)
+        # unstacked flow (see bev_sampling): the stacked trailing-3 form
+        # turned the radial-offset add into a dynamic-update-slice
+        theta = td[..., 0].reshape(B, Q, T, G, P, D)
+        dd = td[..., 1].reshape(B, Q, T, G, P, D) + d_off[
+            :, :, None, None, None, :]
+        from ..ops.bbox_codec import theta_d_pair_to_xy
 
-        back = theta_d_to_xy(td)
-        bx = back[..., 0:1] * (hi[0] - lo[0]) + lo[0]
-        by = back[..., 1:2] * (hi[1] - lo[1]) + lo[1]
-        sample_points = jnp.concatenate([bx, by, back[..., 2:3]], axis=-1)
-        sample_points = sample_points.reshape(B, Q, T, G, P * D, 3)
+        bxn, byn = theta_d_pair_to_xy(theta.reshape(B, Q, T, G, P * D),
+                                      dd.reshape(B, Q, T, G, P * D))
+        bx = bxn * (hi[0] - lo[0]) + lo[0]
+        by = byn * (hi[1] - lo[1]) + lo[1]
+        bz = z.reshape(B, Q, T, G, P * D)
+        sample_points = jnp.stack([bx, by, bz], axis=-1)
 
         # DUMP-equivalent capture of the sampling points
         # (`models/sparsebev_sampling.py:82-87`)
@@ -104,5 +109,5 @@ class ImageRadialSampling(nn.Module):
 
         return sample_image_features(
             sample_points, mlvl_feats, w, lidar2img, image_hw[0], image_hw[1],
-            pre_padded=pre_padded,
+            pre_padded=pre_padded, pre_fused=pre_fused,
         )

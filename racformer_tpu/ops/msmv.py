@@ -57,6 +57,7 @@ def msmv_sample_xyv(
     view: jax.Array,
     weights: jax.Array,
     pre_padded: bool = False,
+    pre_fused: bool = False,
 ) -> jax.Array:
     """`msmv_sample` with unstacked (x, y, view) — the hot path: the packed
     trailing-3 loc tensor costs a stack/unstack round-trip (and a float
@@ -67,18 +68,24 @@ def msmv_sample_xyv(
     slab = jnp.arange(S, dtype=jnp.int32)[:, None, None]
 
     def sample_level(feat_l, w_l):
-        # feat_l: [S, N, H, W, C] (+2*PAD border when pre_padded); w_l: [S, Q, P]
+        # feat_l: [S, N, H, W, C] (+2*PAD border when pre_padded; y-fused
+        # padded [S, N, H+2*PAD-1, W+2*PAD, 2C] when pre_fused); w_l: [S, Q, P]
         from .bilinear import PAD
 
-        off = 2 * PAD if pre_padded else 0
-        H, W = feat_l.shape[2] - off, feat_l.shape[3] - off
+        if pre_fused:
+            H = feat_l.shape[2] + 1 - 2 * PAD
+            W = feat_l.shape[3] - 2 * PAD
+        else:
+            off = 2 * PAD if pre_padded else 0
+            H, W = feat_l.shape[2] - off, feat_l.shape[3] - off
         x_pix = x_norm * (W - 1)  # align_corners=True mapping
         y_pix = y_norm * (H - 1)
         # fold (slab, view) into one un-batched gather (see deform_attn)
         sv = slab * N + view
         f4 = feat_l.reshape(S * N, *feat_l.shape[2:])
         out = bilinear_sample_views_nhwc(
-            f4, sv, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True
+            f4, sv, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
+            pre_fused=pre_fused,
         )
         return out * w_l[..., None].astype(out.dtype)
 

@@ -97,12 +97,15 @@ def sample_image_features(
     image_h: int,
     image_w: int,
     pre_padded: bool = False,
+    pre_fused: bool = False,
 ) -> jax.Array:
     """Full `sampling_4d` equivalent.
 
     Args:
       sample_points: [B, Q, T, G, P, 3] lidar-frame points.
-      mlvl_feats: L levels, each [B, T, G, N, H_l, W_l, C] channel-last.
+      mlvl_feats: L levels, each [B, T, G, N, H_l, W_l, C] channel-last
+        (y-fused padded [B, T, G, N, H+3, W+4, 2C] when `pre_fused` — the
+        form the streaming frame cache stores).
       scale_weights: [B, Q, G, T, P, L].
       lidar2img: [B, T, N, 4, 4].
 
@@ -110,7 +113,7 @@ def sample_image_features(
     """
     B, Q, T, G, P, _ = sample_points.shape
     L = len(mlvl_feats)
-    C = mlvl_feats[0].shape[-1]
+    C = mlvl_feats[0].shape[-1] // (2 if pre_fused else 1)
 
     pts = sample_points.transpose(0, 2, 1, 3, 4, 5).reshape(B, T, Q, G * P, 3)
     lx, ly, lv = project_points_to_views(pts, lidar2img, image_h, image_w,
@@ -129,6 +132,7 @@ def sample_image_features(
     from .msmv import msmv_sample_xyv
 
     out = msmv_sample_xyv(feats, to_slabs(lx), to_slabs(ly), to_slabs(lv),
-                          w, pre_padded=pre_padded)  # [B*T*G, Q, P, C]
+                          w, pre_padded=pre_padded,
+                          pre_fused=pre_fused)  # [B*T*G, Q, P, C]
     out = out.reshape(B, T, G, Q, P, C).transpose(0, 3, 2, 1, 4, 5)
     return out.reshape(B, Q, G, T * P, C)
