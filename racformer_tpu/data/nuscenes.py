@@ -240,11 +240,6 @@ class NuScenesRadarDataset:
         return sample
 
     def batch(self, indices):
-        samples = [self[i] for i in indices]
-        out = {}
-        for k in samples[0]:
-            if isinstance(samples[0][k], str):
-                out[k] = [s[k] for s in samples]
-            else:
-                out[k] = np.stack([s[k] for s in samples])
-        return out
+        from .collate import collate
+
+        return collate([self[i] for i in indices])

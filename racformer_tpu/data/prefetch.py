@@ -57,13 +57,9 @@ class PrefetchLoader:
         self._thread.start()
 
     def _collate(self, samples):
-        out = {}
-        for k in samples[0]:
-            if isinstance(samples[0][k], str):
-                out[k] = [s[k] for s in samples]
-            else:
-                out[k] = np.stack([s[k] for s in samples])
-        return out
+        from .collate import collate
+
+        return collate(samples)
 
     def _produce(self):
         try:

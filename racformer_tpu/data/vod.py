@@ -152,11 +152,6 @@ class VoDDataset:
         return sample
 
     def batch(self, indices):
-        samples = [self[i] for i in indices]
-        out = {}
-        for k in samples[0]:
-            if k == "token":
-                out[k] = [s[k] for s in samples]
-            else:
-                out[k] = np.stack([s[k] for s in samples])
-        return out
+        from .collate import collate
+
+        return collate([self[i] for i in indices])

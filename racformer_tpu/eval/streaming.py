@@ -91,10 +91,17 @@ class StreamingEvaluator:
     def step(self, frame: Dict, blocking: bool = True) -> Dict:
         """frame: dict with imgs [N, H, W, 3] (raw), radar_points [P, 7],
         radar_mask [P], radar_depth/rcs [N, H, W], lidar2img [N, 4, 4],
-        img2lidar [N, 4, 4], timestamp (float seconds).
+        img2lidar [N, 4, 4], timestamp (float seconds, RELATIVE to the
+        scene start — epoch-seconds have a 128 s float32 ULP, which would
+        quantize inter-frame time_diff to 0 on device; val.py rebases).
 
         Returns decoded boxes for the current frame.
         """
+        if abs(float(frame["timestamp"])) > 1e6:
+            raise ValueError(
+                "timestamp looks absolute (epoch seconds); pass scene-"
+                "relative seconds — float32 on device cannot resolve "
+                "sub-second deltas at ~1e9 magnitudes")
         b = lambda x: jnp.asarray(x)[None]
         feats = self._encode(
             self.variables, b(frame["imgs"]), b(frame["radar_points"]),

@@ -46,7 +46,8 @@ class BEVValueProj(nn.Module):
 
     @nn.compact
     def __call__(self, bev_feats):
-        """bev_feats: [B, T, H, W, C] -> value [B*T, H, W, M, c] (bf16)."""
+        """bev_feats: [B, T, H, W, C] -> y-fused padded value
+        [B*T, M, Hp-1, Wp, 2c] (bf16)."""
         B, T, H, W, C = bev_feats.shape
         pos = LearnedPositionalEncoding2D(
             self.embed_dims // 2,
@@ -57,14 +58,16 @@ class BEVValueProj(nn.Module):
         )(H, W)
         v = nn.Dense(C, dtype=self.dtype, name="value_proj")(bev_feats + pos[None, None])
         # bf16 for the bandwidth-bound bilinear gather (f32 resumes after);
-        # head-major + zero-bordered so the scanned deform attention gathers
-        # patches from a canonical-layout operand with no per-iteration
-        # pad/transpose
-        from ..ops.bilinear import pad_for_sampling
+        # head-major + zero-bordered + y-fused so the scanned deform
+        # attention gathers patches from a SAMPLER-READY operand — fusing
+        # here (once per step) instead of inside each of the 6 scan
+        # iterations (and again under remat in the backward) saves the
+        # full-map doubling concat 12+x per step
+        from ..ops.bilinear import fuse_rows, pad_for_sampling
 
         M = self.num_heads
         v = v.astype(jnp.bfloat16).reshape(B * T, H, W, M, C // M)
-        return pad_for_sampling(v.transpose(0, 3, 1, 2, 4))
+        return fuse_rows(pad_for_sampling(v.transpose(0, 3, 1, 2, 4)))
 
 
 class BEVCrossFrameAttention(nn.Module):
@@ -78,8 +81,8 @@ class BEVCrossFrameAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, value, loc, weights, train: bool = False):
-        """query: [B, Q, C]; value: [B*T, M, Hp, Wp, c] pre-projected,
-        head-major and zero-bordered (:class:`BEVValueProj`);
+        """query: [B, Q, C]; value: [B*T, M, Hp-1, Wp, 2c] pre-projected,
+        head-major, zero-bordered and y-fused (:class:`BEVValueProj`);
         loc: an (x, y) tuple of [B, Q, M, T, P] arrays in [0, 1] (kept
         unstacked for layout, see BEVSampling) or a stacked
         [B, Q, M, T, P, 2]; weights: [B, Q, M, T, P]."""
@@ -96,7 +99,7 @@ class BEVCrossFrameAttention(nn.Module):
         w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
 
         out = deform_attn_single_level(
-            value, None, w, pre_padded=True, loc_xy=(lx, ly))  # [B*T, Q, C]
+            value, None, w, pre_fused=True, loc_xy=(lx, ly))  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
         qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
@@ -129,8 +132,9 @@ class BEVSampling(nn.Module):
 
         B, Q, _ = query_ray.shape
         T, M, P, D = self.num_frames, self.num_heads, self.num_points, self.depth_num
-        # bev_value: [B*T, M, Hp, Wp, c] (padded head-major)
-        H, W = bev_value.shape[2] - 2 * PAD, bev_value.shape[3] - 2 * PAD
+        # bev_value: [B*T, M, Hp-1, Wp, 2c] (padded head-major, y-fused)
+        H = bev_value.shape[2] + 1 - 2 * PAD
+        W = bev_value.shape[3] - 2 * PAD
 
         query_bbox = theta_d_to_xy(query_ray)
 

@@ -25,6 +25,7 @@ def deform_attn_single_level(
     weights: jax.Array,
     pre_padded: bool = False,
     loc_xy=None,
+    pre_fused: bool = False,
 ) -> jax.Array:
     """Args:
       value: [S, H, W, M, c] — S batch slabs (B * num_bev_queue), M heads,
@@ -45,7 +46,13 @@ def deform_attn_single_level(
     """
     from .bilinear import PAD
 
-    if pre_padded:
+    if pre_fused:
+        # [S, M, Hp-1, Wp, 2c] y-fused padded (BEVValueProj)
+        S, M, R0, Wp, c2 = value.shape
+        c = c2 // 2
+        H, W = R0 + 1 - 2 * PAD, Wp - 2 * PAD
+        val_h = value
+    elif pre_padded:
         S, M, Hp, Wp, c = value.shape
         H, W = Hp - 2 * PAD, Wp - 2 * PAD
         val_h = value
@@ -78,7 +85,7 @@ def deform_attn_single_level(
     use_pallas = os.environ.get("RACFORMER_BEV_PALLAS", "0") == "1"
     out = bilinear_sample_views_nhwc(
         val4, sm, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
-        pallas_forward=use_pallas,
+        pallas_forward=use_pallas, pre_fused=pre_fused,
     )
     out = jnp.sum(out * weights[..., None].astype(out.dtype), axis=3)  # [S, Q, M, c]
     return out.reshape(S, Q, M * c)

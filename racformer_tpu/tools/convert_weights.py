@@ -375,10 +375,19 @@ def jax_tree_to_numpy(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def load_pretrained(path: str, params: Dict, revise_keys=None) -> Dict:
+def load_pretrained(path: str, params: Dict, revise_keys=None,
+                    state_dict=None) -> Dict:
     """Load a torch checkpoint (pth) or pickled numpy state dict and merge the
-    convertible weights into `params` (backbone/neck pretrain path)."""
-    if path.endswith((".pth", ".pt")):
+    convertible weights into `params` (backbone/neck pretrain path).
+
+    Pass `state_dict` to reuse an already-deserialized checkpoint (val.py
+    reads the `version` field from the same file — avoid a second full
+    torch.load of a multi-hundred-MB checkpoint)."""
+    if state_dict is not None:
+        sd = {k: (v.numpy() if hasattr(v, "numpy") else v)
+              for k, v in state_dict.items()
+              if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
+    elif path.endswith((".pth", ".pt")):
         import torch
 
         ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -24,14 +24,18 @@ from typing import Callable, Dict, Optional
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 _CATEGORIES = (
-    ("gather", r"gather"),
-    ("scatter", r"scatter"),
-    ("custom-call(pallas)", r"custom[-_]call"),
-    ("matmul/conv", r"conv|dot|einsum"),
-    ("fusion(elementwise)", r"fusion"),
-    ("copy/layout", r"copy|transpose|reshape|bitcast"),
-    ("reduce/sort", r"reduce|sort|top-?k"),
-    ("while(control)", r"while"),
+    # collectives first: 'all-gather'/'reduce-scatter' must not land in the
+    # compute gather/scatter buckets on multichip traces
+    ("collectives", r"^(all-gather|all-reduce|reduce-scatter|"
+                    r"collective-permute|all-to-all)"),
+    ("gather", r"^gather"),
+    ("scatter", r"^scatter"),
+    ("custom-call(pallas)", r"^custom[-_]call|^tpu_custom_call"),
+    ("matmul/conv", r"^(convolution|dot|einsum)"),
+    ("fusion(elementwise)", r"^fusion"),
+    ("copy/layout", r"^(copy|transpose|reshape|bitcast)"),
+    ("reduce/sort", r"^(reduce|sort|top-?k)"),
+    ("while(control)", r"^while"),
 )
 
 

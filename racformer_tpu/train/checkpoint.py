@@ -41,6 +41,13 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any) -> None:
         for attempt in range(self.retries):
+            if attempt > 0:
+                # orbax refuses to save over an existing step; a retry must
+                # delete the corrupted checkpoint first
+                try:
+                    self.mgr.delete(step)
+                except Exception:
+                    pass
             self.mgr.save(step, args=ocp.args.StandardSave(state))
             self.mgr.wait_until_finished()
             if not self.verify:

@@ -41,3 +41,28 @@ def test_revise_keys_on_tree_paths():
     out = apply_revise_keys(flat, [("backbone", "img_backbone")])
     assert "img_backbone/conv1/kernel" in out
     assert "neck/fpn0/kernel" in out
+
+
+def test_save_verify_retry_resaves(tmp_path, monkeypatch):
+    """A failed verification must be able to RE-save the same step: orbax
+    raises ValueError on saving an existing step, so the retry path deletes
+    the corrupted checkpoint first."""
+    import racformer_tpu.train.checkpoint as ckpt
+
+    cm = CheckpointManager(str(tmp_path), verify=True, retries=3)
+    state = {"w": np.arange(8.0, dtype=np.float32)}
+    calls = {"n": 0}
+    real = ckpt._tree_digest
+
+    def flaky(tree):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # first attempt's (state, restored) pair differs
+            return f"bad-{calls['n']}"
+        return real(tree)
+
+    monkeypatch.setattr(ckpt, "_tree_digest", flaky)
+    cm.save(3, state)  # must not raise 'checkpoint already exists'
+    assert calls["n"] >= 4
+    step, restored = cm.restore_latest(state)
+    assert step == 3
+    np.testing.assert_array_equal(restored["w"], state["w"])

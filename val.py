@@ -131,7 +131,9 @@ def main():
                               weights_only=False)
             legacy_version = ckpt.get("version", legacy_version) or legacy_version
             variables = dict(variables)
-            variables["params"] = load_pretrained(args.checkpoint, variables["params"])
+            variables["params"] = load_pretrained(
+                args.checkpoint, variables["params"],
+                state_dict=ckpt.get("state_dict", ckpt))
         elif os.path.isfile(args.checkpoint):
             # a pickled {'params': ..., 'batch_stats': ...} variables file
             # (produced by the weight converter or a training export);
@@ -171,22 +173,30 @@ def main():
 
         ev = StreamingEvaluator(model, variables, eval_cfg=ecfg)
         prev_scene = None
+        scene_t0 = 0.0
         for i in range(num):
             s = dataset[i]
             # reset the temporal cache at scene boundaries so frames never
             # bleed across scenes (the reference keys its feature cache by
             # filename for the same reason, `models/racformer.py:503-556`)
             scene = s.get("scene", None)
+            ts_abs = float(s.get("timestamp", i * 0.5))
             if scene is not None and scene != prev_scene:
                 if prev_scene is not None:
                     ev.reset()
                 prev_scene = scene
+                scene_t0 = ts_abs
+            elif scene is None and i == 0:
+                scene_t0 = ts_abs
             frame = dict(
                 imgs=s["imgs"][0], radar_points=s["radar_points"][0],
                 radar_mask=s["radar_mask"][0], radar_depth=s["radar_depth"][0],
                 radar_rcs=s["radar_rcs"][0], lidar2img=s["lidar2img"][0],
                 img2lidar=s["img2lidar"][0],
-                timestamp=float(s.get("timestamp", i * 0.5)),
+                # rebase to the scene start IN FLOAT64 before the device
+                # float32 cast: epoch-seconds (~1.5e9) have a 128 s float32
+                # ULP, which would quantize every inter-frame time_diff to 0
+                timestamp=ts_abs - scene_t0,
             )
             t0 = time.perf_counter()
             out = ev.step(frame, blocking=False)
