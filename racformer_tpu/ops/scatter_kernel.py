@@ -30,8 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN = 16          # window width: covers x, x+1 for any (x//8)*8 start
-GROUP = 16        # points per MXU expansion (swept on v5e: 16 -> 7.9 ns/patch
-                  # vs 41 at 8 and 33 at 32, docs/experiments/pallas_scatter_v1.py)
+GROUP = 64        # points per MXU expansion. Swept at the production BEV
+                  # backward shape ([8, 524, 152, 128] map, K=123600):
+                  # 8 -> 37, 16 -> 23, 32 -> 17, 64 -> 12.7 ns/patch,
+                  # 128 -> VMEM OOM (the [chunk, GROUP*WIN] A-matrix block)
 LANES = 128       # y-fused channels (2C); all sampling call sites have C=64
 
 
