@@ -127,8 +127,13 @@ def pad_chunks(x: jax.Array, kpad: int, fill=0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-def chunk_layout(K: int, max_chunk: int = 1200):
-    """Pick (chunk, nch, kpad) for K points per slab."""
+def chunk_layout(K: int, max_chunk: int = 1216):
+    """Pick (chunk, nch, kpad) for K points per slab.
+
+    chunk MUST be a multiple of GROUP: the kernel iterates chunk // GROUP
+    groups, so a non-multiple silently drops the chunk tail's gradients
+    (this bit when GROUP moved to 64 under the old max_chunk=1200)."""
+    max_chunk = (max_chunk // GROUP) * GROUP
     if K >= max_chunk:
         nch = int(np.ceil(K / max_chunk))
         return max_chunk, nch, max_chunk * nch

@@ -110,3 +110,32 @@ def test_grad_bf16_feat(data):
     gb = jax.grad(functools.partial(loss, custom=False))(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_grad_feat_multichunk_tail(rng):
+    """K large enough to span multiple kernel chunks: every point's gradient
+    must flow — guards the chunk//GROUP divisibility bug where a chunk size
+    not divisible by GROUP silently dropped the tail points' grads."""
+    from racformer_tpu.ops.scatter_kernel import GROUP, chunk_layout
+
+    chunk, nch, kpad = chunk_layout(3000)
+    assert chunk % GROUP == 0 and nch * chunk >= 3000
+
+    Kbig = 3000
+    feat = rng.normal(size=(2, 8, 12, 64)).astype(np.float32)
+    view = np.zeros((1, Kbig), np.int32)  # S=1, J=2: slab row 0, views {0,1}
+    view[:] = rng.integers(0, 2, size=(1, Kbig))
+    x = rng.uniform(0, 11, size=(1, Kbig)).astype(np.float32)
+    y = rng.uniform(0, 7, size=(1, Kbig)).astype(np.float32)
+    g = rng.normal(size=(1, Kbig, 64)).astype(np.float32)
+
+    def loss(f, custom):
+        out = bilinear_sample_views_nhwc(
+            f, jnp.asarray(view), jnp.asarray(x), jnp.asarray(y),
+            custom_grad=custom, blocked_views=True)
+        return jnp.sum(out * jnp.asarray(g))
+
+    ga = jax.grad(functools.partial(loss, custom=True))(jnp.asarray(feat))
+    gb = jax.grad(functools.partial(loss, custom=False))(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=5e-2, atol=5e-2)
