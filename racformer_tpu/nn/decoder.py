@@ -220,6 +220,8 @@ class RaCFormerDecoder(nn.Module):
         # are ~24 GB at flagship train shapes); the reference equivalently
         # wraps each decoder sub-module in torch activation checkpointing
         # (`racformer_transformer.py:317-321,423-427,542-546,612-616`)
+        # (measured: a save_only_these_names policy keeping the sampled
+        # image features made no difference at B=1 — full remat stays)
         layer_cls = nn.remat(RaCFormerDecoderLayer, prevent_cse=False)
         scan = nn.scan(
             layer_cls,
