@@ -148,3 +148,78 @@ def test_detector_conversion_subset(rng):
     np.testing.assert_allclose(
         cp["pts_bbox_head"]["init_query_bbox"],
         sd["pts_bbox_head.init_query_bbox.weight"], atol=1e-6)
+
+
+def test_resnet_stage_golden_vs_torch(rng):
+    """End-to-end converter + backbone NUMERICS golden: a torch Bottleneck
+    stem+stage (mmdet naming, eval-mode BN) converted through
+    convert_state_dict must reproduce torch's C2 feature map."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+
+    class TBottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride=1, downsample=False):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.downsample = None
+            if downsample:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            o = self.bn1(self.conv1(x)).relu()
+            o = self.bn2(self.conv2(o)).relu()
+            o = self.bn3(self.conv3(o))
+            return (o + idt).relu()
+
+    class TStem(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(
+                TBottleneck(64, 64, downsample=True),
+                TBottleneck(256, 64), TBottleneck(256, 64))
+
+        def forward(self, x):
+            x = self.maxpool(self.bn1(self.conv1(x)).relu())
+            return self.layer1(x)
+
+    tmodel = TStem().eval()
+    # randomize BN stats so eval-mode normalization is non-trivial
+    for m in tmodel.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+
+    sd = {f"img_backbone.{k}": v.detach().numpy()
+          for k, v in tmodel.state_dict().items()}
+
+    from racformer_tpu.nn.resnet import ResNet50
+
+    model = ResNet50(dtype=jnp.float32, remat=False)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    wrapped = {"params": {"img_backbone": variables["params"]},
+               "batch_stats": {"img_backbone": variables["batch_stats"]}}
+    converted, unmatched = convert_state_dict(sd, wrapped, strict=False)
+    assert not any("layer1" in u or "conv1" in u or "bn1" in u
+                   for u in unmatched), unmatched[:5]
+
+    c2 = model.apply(
+        {"params": converted["params"]["img_backbone"],
+         "batch_stats": converted["batch_stats"]["img_backbone"]},
+        jnp.asarray(x))[0]
+    want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy()
+    got = np.transpose(np.asarray(c2), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
