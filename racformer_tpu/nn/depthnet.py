@@ -72,7 +72,11 @@ class DepthNet(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="mlp_bn",
         )(mlp_input)
-        x = ConvBN(self.mid_channels, 3, dtype=self.dtype, name="reduce_conv")(x, train)
+        # the reference's reduce_conv Conv2d keeps its default bias even
+        # though BN follows (`view_transformer_racformer.py:494-499`) — match
+        # it so the released checkpoint's bias has somewhere to go
+        x = ConvBN(self.mid_channels, 3, use_bias=True, dtype=self.dtype,
+                   name="reduce_conv")(x, train)
 
         ctx_se = MlpBlock(self.mid_channels, self.mid_channels, dtype=self.dtype, name="context_mlp")(mlp_input)
         context = SELayer(self.mid_channels, dtype=self.dtype, name="context_se")(x, ctx_se)

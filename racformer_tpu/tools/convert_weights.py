@@ -361,7 +361,11 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], variables: Dict,
             continue
         for path, v in targets:
             try:
-                _set(out, path, v, strict=strict)
+                if not _set(out, path, v, strict=strict):
+                    # non-strict _set returns False on a missing target —
+                    # report it; silently dropping a checkpoint tensor is
+                    # exactly what the full-keyset gate exists to catch
+                    unmatched.append(f"{key} (no target {path})")
             except (KeyError, ValueError) as e:
                 if strict:
                     raise

@@ -223,3 +223,153 @@ def test_resnet_stage_golden_vs_torch(rng):
     want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy()
     got = np.transpose(np.asarray(c2), (0, 3, 1, 2))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_depthnet_golden_vs_torch(rng):
+    """Torch mirror of the reference DepthNet (SE, Mlp, BasicBlocks, ASPP,
+    eval-mode BN) vs our flax DepthNet with converted weights — the depth
+    branch carries most of the accuracy, so its numerics must match."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(1)
+    MID, D = 64, 12  # small dims: same structure, fast on CPU
+
+    class TMlp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(9, MID)
+            self.fc2 = tnn.Linear(MID, MID)
+
+        def forward(self, x):
+            return self.fc2(self.fc1(x).relu())
+
+    class TSE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_reduce = tnn.Conv2d(MID, MID, 1)
+            self.conv_expand = tnn.Conv2d(MID, MID, 1)
+
+        def forward(self, x, se):
+            se = self.conv_expand(self.conv_reduce(se).relu())
+            return x * torch.sigmoid(se)
+
+    class TBasic(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(MID, MID, 3, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(MID)
+            self.conv2 = tnn.Conv2d(MID, MID, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(MID)
+
+        def forward(self, x):
+            o = self.bn1(self.conv1(x)).relu()
+            o = self.bn2(self.conv2(o))
+            return (o + x).relu()
+
+    class TASPPMod(tnn.Module):
+        def __init__(self, k, dil):
+            super().__init__()
+            pad = 0 if k == 1 else dil
+            self.atrous_conv = tnn.Conv2d(MID, MID, k, padding=pad,
+                                          dilation=dil, bias=False)
+            self.bn = tnn.BatchNorm2d(MID)
+
+        def forward(self, x):
+            return self.bn(self.atrous_conv(x)).relu()
+
+    class TASPP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.aspp1 = TASPPMod(1, 1)
+            self.aspp2 = TASPPMod(3, 6)
+            self.aspp3 = TASPPMod(3, 12)
+            self.aspp4 = TASPPMod(3, 18)
+            self.global_avg_pool = tnn.Sequential(
+                tnn.AdaptiveAvgPool2d((1, 1)),
+                tnn.Conv2d(MID, MID, 1, bias=False),
+                tnn.BatchNorm2d(MID), tnn.ReLU())
+            self.conv1 = tnn.Conv2d(MID * 5, MID, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(MID)
+
+        def forward(self, x):
+            g = self.global_avg_pool(x).expand(-1, -1, *x.shape[2:])
+            cat = torch.cat([self.aspp1(x), self.aspp2(x), self.aspp3(x),
+                             self.aspp4(x), g], 1)
+            # ref ASPP: conv1 -> bn1 -> relu -> dropout (eval: identity)
+            return self.bn1(self.conv1(cat)).relu()
+
+    class TDepthNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.reduce_conv = tnn.Sequential(
+                tnn.Conv2d(MID, MID, 3, padding=1), tnn.BatchNorm2d(MID),
+                tnn.ReLU())
+            self.context_conv = tnn.Conv2d(MID, MID, 1)
+            self.bn = tnn.BatchNorm1d(9)
+            self.depth_mlp = TMlp()
+            self.depth_se = TSE()
+            self.dep_proj = tnn.Conv2d(MID + D + 1 + 8, MID, 1)
+            self.context_mlp = TMlp()
+            self.context_se = TSE()
+            self.depth_conv = tnn.Sequential(
+                TBasic(), TBasic(), TBasic(), TASPP(),
+                tnn.Conv2d(MID, D, 1))
+
+        def forward(self, x, radar_feats, rcs_emb, mlp_input):
+            mlp_input = self.bn(mlp_input)
+            x = self.reduce_conv(x)
+            cse = self.context_mlp(mlp_input)[..., None, None]
+            context = self.context_conv(self.context_se(x, cse))
+            dse = self.depth_mlp(mlp_input)[..., None, None]
+            depth = self.depth_se(x, dse)
+            depth = torch.cat((depth, radar_feats, rcs_emb), 1)
+            depth = self.depth_conv(self.dep_proj(depth))
+            return torch.cat([depth, context], 1)
+
+    tmodel = TDepthNet().eval()
+    for m in tmodel.modules():
+        if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
+            m.running_mean.normal_(0, 0.3)
+            m.running_var.uniform_(0.5, 2.0)
+
+    # rename torch keys to the reference checkpoint layout, then convert
+    ren = {
+        "depth_conv.0.": "depth_conv.0.", "depth_conv.1.": "depth_conv.1.",
+        "depth_conv.2.": "depth_conv.2.", "depth_conv.3.": "depth_conv.3.",
+        "depth_conv.4.": "depth_conv.4.",
+    }
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        sd[f"img_lss_view_transformer.depth_net.{k}"] = v.numpy()
+
+    from racformer_tpu.nn.depthnet import DepthNet
+
+    model = DepthNet(mid_channels=MID, context_channels=MID,
+                     depth_channels=D, dtype=jnp.float32)
+    B, H, W = 2, 16, 16
+    x = rng.normal(size=(B, H, W, MID)).astype(np.float32)
+    grids = rng.normal(size=(B, H, W, D + 1)).astype(np.float32)
+    rcs = rng.normal(size=(B, H, W, 8)).astype(np.float32)
+    mlp = rng.normal(size=(B, 9)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(grids), jnp.asarray(rcs),
+                           jnp.asarray(mlp))
+    wrapped = {"params": {"img_lss_view_transformer": {"depth_net": variables["params"]}},
+               "batch_stats": {"img_lss_view_transformer": {"depth_net": variables.get("batch_stats", {})}}}
+    converted, unmatched = convert_state_dict(sd, wrapped, strict=False)
+    bad = [u for u in unmatched if "mismatch" in u or "missing" in u]
+    assert bad == [], bad[:6]
+
+    vars2 = {"params": converted["params"]["img_lss_view_transformer"]["depth_net"],
+             "batch_stats": converted["batch_stats"]["img_lss_view_transformer"]["depth_net"]}
+    got = np.asarray(model.apply(vars2, jnp.asarray(x), jnp.asarray(grids),
+                                 jnp.asarray(rcs), jnp.asarray(mlp)))
+    want = tmodel(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(grids).permute(0, 3, 1, 2),
+        torch.from_numpy(rcs).permute(0, 3, 1, 2),
+        torch.from_numpy(mlp),
+    ).detach().numpy()
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 3, 1, 2)), want, rtol=5e-4, atol=5e-4)
