@@ -46,3 +46,51 @@ def test_bev_resnet_and_fpnlss(rng):
     nv = neck.init(jax.random.PRNGKey(1), feats)
     out = neck.apply(nv, feats)
     assert out.shape == (1, 32, 32, 64)
+
+
+def test_fpn_golden_vs_torch(rng):
+    """mmdet-FPN torch mirror (lateral 1x1, nearest top-down add, 3x3 out)
+    converted through convert_state_dict must reproduce all 4 levels."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from racformer_tpu.nn.fpn import FPN
+    from racformer_tpu.tools.convert_weights import convert_state_dict
+
+    torch.manual_seed(2)
+    chans = (32, 64, 128, 256)
+    C = 48
+
+    lats = tnn.ModuleList([tnn.Conv2d(c, C, 1) for c in chans])
+    fpns = tnn.ModuleList([tnn.Conv2d(C, C, 3, padding=1) for _ in chans])
+
+    feats = [rng.normal(size=(1, 32 >> i, 48 >> i, c)).astype(np.float32)
+             for i, c in enumerate(chans)]
+    t_in = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+    with torch.no_grad():
+        l = [m(x) for m, x in zip(lats, t_in)]
+        for i in range(3, 0, -1):
+            l[i - 1] = l[i - 1] + F.interpolate(l[i], scale_factor=2,
+                                                mode="nearest")
+        want = [m(x).numpy() for m, x in zip(fpns, l)]
+
+    sd = {}
+    for i in range(4):
+        sd[f"img_neck.lateral_convs.{i}.conv.weight"] = lats[i].weight.detach().numpy()
+        sd[f"img_neck.lateral_convs.{i}.conv.bias"] = lats[i].bias.detach().numpy()
+        sd[f"img_neck.fpn_convs.{i}.conv.weight"] = fpns[i].weight.detach().numpy()
+        sd[f"img_neck.fpn_convs.{i}.conv.bias"] = fpns[i].bias.detach().numpy()
+
+    model = FPN(out_channels=C, num_levels=4, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           [jnp.asarray(f) for f in feats])
+    wrapped = {"params": {"img_neck": variables["params"]}}
+    converted, unmatched = convert_state_dict(sd, wrapped, strict=True)
+    assert unmatched == [], unmatched
+    outs = model.apply({"params": converted["params"]["img_neck"]},
+                       [jnp.asarray(f) for f in feats])
+    for got, w in zip(outs, want):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got), (0, 3, 1, 2)), w,
+            rtol=2e-4, atol=2e-4)
