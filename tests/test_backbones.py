@@ -94,3 +94,47 @@ def test_fpn_golden_vs_torch(rng):
         np.testing.assert_allclose(
             np.transpose(np.asarray(got), (0, 3, 1, 2)), w,
             rtol=2e-4, atol=2e-4)
+
+
+def test_custom_fpn_golden_vs_torch(rng):
+    """CustomFPN (2 laterals, top-down add, single out conv at out_ids=[0],
+    ref necks/fpn.py:108-181) torch mirror through the converter."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from racformer_tpu.nn.fpn import CustomFPN
+    from racformer_tpu.tools.convert_weights import convert_state_dict
+
+    torch.manual_seed(3)
+    chans = (64, 128)
+    C = 48
+    lats = tnn.ModuleList([tnn.Conv2d(c, C, 1) for c in chans])
+    fpn0 = tnn.Conv2d(C, C, 3, padding=1)
+
+    feats = [rng.normal(size=(1, 16 >> i, 24 >> i, c)).astype(np.float32)
+             for i, c in enumerate(chans)]
+    t_in = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+    with torch.no_grad():
+        l = [m(x) for m, x in zip(lats, t_in)]
+        l[0] = l[0] + F.interpolate(l[1], scale_factor=2, mode="nearest")
+        want = fpn0(l[0]).numpy()
+
+    sd = {}
+    for i in range(2):
+        sd[f"img_lss_neck.lateral_convs.{i}.conv.weight"] = lats[i].weight.detach().numpy()
+        sd[f"img_lss_neck.lateral_convs.{i}.conv.bias"] = lats[i].bias.detach().numpy()
+    sd["img_lss_neck.fpn_convs.0.conv.weight"] = fpn0.weight.detach().numpy()
+    sd["img_lss_neck.fpn_convs.0.conv.bias"] = fpn0.bias.detach().numpy()
+
+    model = CustomFPN(out_channels=C, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           [jnp.asarray(f) for f in feats])
+    wrapped = {"params": {"img_lss_neck": variables["params"]}}
+    converted, unmatched = convert_state_dict(sd, wrapped, strict=True)
+    assert unmatched == [], unmatched
+    got = model.apply({"params": converted["params"]["img_lss_neck"]},
+                      [jnp.asarray(f) for f in feats])
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+        rtol=2e-4, atol=2e-4)
