@@ -71,7 +71,16 @@ class BEVValueProj(nn.Module):
 
 
 class BEVCrossFrameAttention(nn.Module):
-    """Deformable attention over the temporal BEV queue with queue weighting."""
+    """Deformable attention over the temporal BEV queue with queue weighting.
+
+    Parity note (audited vs `/root/reference/models/bev_self_attention.py:160-213`):
+    the reference flattens its VALUE rows batch-major (`value.view(B*T, ...)`)
+    but permutes sampling locations/weights QUEUE-major before its
+    `reshape(bs*T, ...)` (`:183-186`), and then re-reads the output rows
+    batch-major again (`:206`) — at batch > 1 frames and batch entries get
+    scrambled against each other (latent: released eval runs B=1). Here all
+    three use the same batch-major (b*T + t) order, which is identical at
+    B=1 and correct at B>1."""
 
     embed_dims: int = 256
     num_heads: int = 4
