@@ -228,6 +228,28 @@ class NuScenesRadarDataset:
                 gtl[:n] = labels[:n]
                 gtm[:n] = True
             sample.update(gt_bboxes=gtb, gt_labels=gtl, gt_mask=gtm)
+            # attribute + point-count protocol fields from the baked
+            # annotation record (tools/gen_sweep_info.py collect_gt),
+            # aligned to gt_boxes by nearest center (the mmdet3d converter
+            # and the raw table can order/filter annotations differently)
+            anno = info.get("gt_anno")
+            if anno and n:
+                from ..tools.gen_sweep_info import ATTRIBUTES
+
+                centers = np.asarray([a["center"] for a in anno], np.float32)
+                gta = np.full((G,), -1, np.int32)
+                gtp = np.full((G,), -1, np.int32)
+                for j in range(n):
+                    d = np.linalg.norm(centers - gtb[j, :3], axis=-1)
+                    k = int(np.argmin(d))
+                    if d[k] < 0.5:
+                        name = anno[k].get("attribute", "")
+                        gta[j] = (ATTRIBUTES.index(name)
+                                  if name in ATTRIBUTES else -1)
+                        lp = anno[k].get("num_lidar_pts", -1)
+                        rp = anno[k].get("num_radar_pts", -1)
+                        gtp[j] = (lp + rp) if lp >= 0 and rp >= 0 else -1
+                sample.update(gt_attrs=gta, gt_num_pts=gtp)
             if self.training and "lidar_points" in info:
                 pts = np.asarray(info["lidar_points"], np.float32)
                 if len(pts) and self.bev_aug_cfg:

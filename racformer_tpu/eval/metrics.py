@@ -203,8 +203,10 @@ def nuscenes_metrics(
         glabels = np.asarray(g["labels"])[gmask]
         gattrs = np.asarray(g["attrs"])[gmask] if "attrs" in g else None
         keep = in_range(gboxes, glabels)
-        if "num_pts" in g:  # devkit: drop GT with no lidar+radar points
-            keep &= np.asarray(g["num_pts"])[gmask] > 0
+        if "num_pts" in g:  # devkit: drop GT with no lidar+radar points;
+            # negative counts mean "unknown" (no baked annotation) -> keep
+            npts = np.asarray(g["num_pts"])[gmask]
+            keep &= (npts > 0) | (npts < 0)
         if front_only:
             keep &= gboxes[:, 0] > 0
         gboxes, glabels = gboxes[keep], glabels[keep]

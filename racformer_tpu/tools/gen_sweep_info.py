@@ -108,6 +108,17 @@ class Tables:
         self.calibrated_sensor = self._index(base, "calibrated_sensor")
         self.ego_pose = self._index(base, "ego_pose")
         self.sensor = self._index(base, "sensor")
+        # annotation tables (optional: absent in stripped-down fixtures)
+        self.sample_annotation = self._index_optional(base, "sample_annotation")
+        self.attribute = self._index_optional(base, "attribute")
+        self.category = self._index_optional(base, "category")
+        self.instance = self._index_optional(base, "instance")
+        # instance -> time-ordered annotation tokens (for velocity finite
+        # differences, devkit `box_velocity` equivalent)
+        self.anns_of_sample: Dict[str, list] = {}
+        for a in self.sample_annotation.values():
+            self.anns_of_sample.setdefault(a["sample_token"], []).append(
+                a["token"])
         # sample token -> {channel: sample_data token} for keyframes
         self.sample_to_sd: Dict[str, Dict[str, str]] = {}
         for sd in self.sample_data.values():
@@ -121,6 +132,13 @@ class Tables:
         with open(os.path.join(base, f"{name}.json")) as f:
             rows = json.load(f)
         return {r["token"]: r for r in rows}
+
+    @classmethod
+    def _index_optional(cls, base: str, name: str) -> Dict[str, Dict]:
+        try:
+            return cls._index(base, name)
+        except FileNotFoundError:
+            return {}
 
     def channel(self, sd: Dict) -> str:
         cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]
@@ -228,6 +246,72 @@ def collect_camera_sweeps(tables: Tables, sample_token: str,
     return sweeps
 
 
+# canonical nuScenes attribute vocabulary (attribute.json names); index 0 is
+# "no attribute" (traffic cones / barriers)
+ATTRIBUTES = (
+    "", "cycle.with_rider", "cycle.without_rider", "pedestrian.moving",
+    "pedestrian.standing", "pedestrian.sitting_lying_down", "vehicle.moving",
+    "vehicle.parked", "vehicle.stopped",
+)
+
+
+def collect_gt(tables: Tables, sample_token: str) -> List[Dict]:
+    """Ground truth straight from the annotation tables, in the LIDAR frame:
+    center / (w, l, h) / yaw / velocity (devkit `box_velocity` finite
+    difference over prev/next annotations) / attribute name / category /
+    point counts. Self-sufficient GT + the attribute and num_pts fields the
+    NDS protocol needs (the mmdet3d info pkl carries neither attributes nor,
+    in some versions, radar point counts)."""
+    if not tables.sample_annotation:
+        return []
+    lidar_tok = tables.sample_to_sd.get(sample_token, {}).get("LIDAR_TOP")
+    if lidar_tok is None:
+        return []
+    T = tables.sensor_from_global(tables.sample_data[lidar_tok])
+
+    def ann_time(tok):
+        a = tables.sample_annotation[tok]
+        return tables.sample[a["sample_token"]]["timestamp"] / 1e6
+
+    out = []
+    for atok in tables.anns_of_sample.get(sample_token, []):
+        a = tables.sample_annotation[atok]
+        c = T @ np.array(list(a["translation"]) + [1.0])
+        R_l = T[:3, :3] @ quat_to_rot(a["rotation"])
+        yaw = float(np.arctan2(R_l[1, 0], R_l[0, 0]))
+        w, l, h = a["size"]
+        first = a["prev"] or atok
+        last = a["next"] or atok
+        if first == last:
+            v_l = np.zeros(2)
+        else:
+            p0 = np.asarray(tables.sample_annotation[first]["translation"])
+            p1 = np.asarray(tables.sample_annotation[last]["translation"])
+            dt = ann_time(last) - ann_time(first)
+            v_g = (p1 - p0) / max(dt, 1e-6)
+            v_l = (T[:3, :3] @ v_g)[:2]
+        attr = ""
+        if a.get("attribute_tokens"):
+            attr = tables.attribute.get(
+                a["attribute_tokens"][0], {}).get("name", "")
+        cat = ""
+        inst = tables.instance.get(a.get("instance_token", ""), {})
+        if inst:
+            cat = tables.category.get(
+                inst.get("category_token", ""), {}).get("name", "")
+        out.append(dict(
+            center=[float(c[0]), float(c[1]), float(c[2])],
+            wlh=[float(w), float(l), float(h)],
+            yaw=yaw,
+            velocity=[float(v_l[0]), float(v_l[1])],
+            attribute=attr,
+            category=cat,
+            num_lidar_pts=int(a.get("num_lidar_pts", -1)),
+            num_radar_pts=int(a.get("num_radar_pts", -1)),
+        ))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataroot", required=True)
@@ -246,6 +330,9 @@ def main():
         tok = info["token"]
         info["radar_points"] = aggregate_radar(tables, tok, args.nsweeps)
         info["sweeps_cam"] = collect_camera_sweeps(tables, tok)
+        info["gt_anno"] = collect_gt(tables, tok)
+        info.setdefault("scene_token",
+                        tables.sample.get(tok, {}).get("scene_token", ""))
         # radar for each sweep step too (history frames)
         for sw in info["sweeps_cam"]:
             sw.setdefault("radar_points", info["radar_points"])

@@ -181,3 +181,95 @@ def test_infos_to_dataset_end_to_end(tmp_path, rng):
     assert s["radar_mask"][0].sum() == 4
     assert s["gt_mask"].sum() == 3
     assert np.isfinite(s["lidar2img"]).all()
+
+
+def _add_annotations(tmp_path, version="v1.0-test"):
+    base = tmp_path / version
+    # a car annotation at global (12, 1, 0): ego at (10, 0, 0), identity
+    # rotations -> lidar-frame center (2, 1, 0). prev/next samples 0.5 s
+    # apart moved +1 m in x -> velocity (2, 0).
+    anns = [
+        dict(token="a0", sample_token="samp0", instance_token="inst0",
+             translation=[12.0, 1.0, 0.0], size=[2.0, 4.5, 1.6],
+             rotation=[1, 0, 0, 0], prev="a_prev", next="a_next",
+             attribute_tokens=["attr_moving"], num_lidar_pts=11,
+             num_radar_pts=3),
+        dict(token="a_prev", sample_token="samp_prev", instance_token="inst0",
+             translation=[11.0, 1.0, 0.0], size=[2.0, 4.5, 1.6],
+             rotation=[1, 0, 0, 0], prev="", next="a0",
+             attribute_tokens=[], num_lidar_pts=9, num_radar_pts=2),
+        dict(token="a_next", sample_token="samp_next", instance_token="inst0",
+             translation=[13.0, 1.0, 0.0], size=[2.0, 4.5, 1.6],
+             rotation=[1, 0, 0, 0], prev="a0", next="",
+             attribute_tokens=[], num_lidar_pts=10, num_radar_pts=2),
+    ]
+    with open(base / "sample_annotation.json", "w") as f:
+        json.dump(anns, f)
+    with open(base / "attribute.json", "w") as f:
+        json.dump([dict(token="attr_moving", name="vehicle.moving")], f)
+    with open(base / "instance.json", "w") as f:
+        json.dump([dict(token="inst0", category_token="cat_car")], f)
+    with open(base / "category.json", "w") as f:
+        json.dump([dict(token="cat_car", name="vehicle.car")], f)
+    # the neighbor samples for velocity differencing
+    with open(base / "sample.json") as f:
+        samples = json.load(f)
+    samples += [dict(token="samp_prev", timestamp=500_000, scene_token="sc0",
+                     prev="", next="samp0"),
+                dict(token="samp_next", timestamp=1_500_000, scene_token="sc0",
+                     prev="samp0", next="")]
+    with open(base / "sample.json", "w") as f:
+        json.dump(samples, f)
+
+
+def test_collect_gt_velocity_and_attributes(tmp_path, rng):
+    from racformer_tpu.tools.gen_sweep_info import collect_gt
+
+    _fabricate_tables(tmp_path, rng)
+    _add_annotations(tmp_path)
+    tables = Tables(str(tmp_path), "v1.0-test")
+    gt = collect_gt(tables, "samp0")
+    assert len(gt) == 1
+    g = gt[0]
+    np.testing.assert_allclose(g["center"], [2.0, 1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(g["wlh"], [2.0, 4.5, 1.6])
+    # +1 m per 0.5 s on both sides -> 2 m/s in x (devkit box_velocity)
+    np.testing.assert_allclose(g["velocity"], [2.0, 0.0], atol=1e-6)
+    assert g["attribute"] == "vehicle.moving"
+    assert g["category"] == "vehicle.car"
+    assert g["num_lidar_pts"] == 11 and g["num_radar_pts"] == 3
+
+
+def test_reader_aligns_gt_anno_attributes(tmp_path, rng):
+    """The dataset reader maps baked gt_anno attributes/point counts onto the
+    (mmdet3d-ordered) gt_boxes by nearest center."""
+    import pickle
+
+    from racformer_tpu.data import NuScenesRadarDataset
+    from racformer_tpu.tools.gen_sweep_info import ATTRIBUTES
+
+    cam = {"lidar2img": np.eye(4, dtype=np.float64), "timestamp": 0,
+           "data_path": ""}
+    info = dict(
+        token="t0", timestamp=0,
+        cams={"CAM_FRONT": cam}, sweeps_cam=[],
+        radar_points=rng.normal(size=(5, 7)).astype(np.float32),
+        gt_boxes=np.array([[2.0, 1.0, 0.0, 2.0, 4.5, 1.6, 0, 0, 0],
+                           [30.0, 5.0, 0.0, 1.0, 1.0, 1.0, 0, 0, 0]],
+                          np.float32),
+        gt_labels=np.array([0, 8]),
+        gt_anno=[dict(center=[2.0, 1.0, 0.0], wlh=[2.0, 4.5, 1.6], yaw=0.0,
+                      velocity=[2.0, 0.0], attribute="vehicle.moving",
+                      category="vehicle.car", num_lidar_pts=11,
+                      num_radar_pts=3)],
+    )
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": [info]}, f)
+    s = NuScenesRadarDataset(str(pkl), num_frames=1, frame_interval=1,
+                             camera_types=("CAM_FRONT",), image_hw=(32, 64),
+                             max_radar_points=8, max_gt=4)[0]
+    assert s["gt_attrs"][0] == ATTRIBUTES.index("vehicle.moving")
+    assert s["gt_num_pts"][0] == 14
+    assert s["gt_attrs"][1] == -1  # no nearby annotation record
+    assert s["gt_num_pts"][1] == -1

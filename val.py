@@ -207,8 +207,13 @@ def main():
             out = jax.device_get(out)
             preds.append({k: v[0] for k, v in out.items()})
             if "gt_bboxes" in s:
-                gts.append(dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
-                                mask=s["gt_mask"]))
+                g = dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
+                         mask=s["gt_mask"])
+                if "gt_attrs" in s:
+                    g["attrs"] = s["gt_attrs"]
+                if "gt_num_pts" in s:
+                    g["num_pts"] = s["gt_num_pts"]
+                gts.append(g)
     else:
         # batched offline eval, sharded over the data mesh: the TPU-native
         # equivalent of the reference's `multi_gpu_test` + rank-0 result
@@ -255,9 +260,14 @@ def main():
             for j in range(len(idxs)):
                 preds.append({k: v[j] for k, v in out.items()})
                 if "gt_bboxes" in sb:
-                    gts.append(dict(bboxes=sb["gt_bboxes"][j],
-                                    labels=sb["gt_labels"][j],
-                                    mask=sb["gt_mask"][j]))
+                    g = dict(bboxes=sb["gt_bboxes"][j],
+                             labels=sb["gt_labels"][j],
+                             mask=sb["gt_mask"][j])
+                    if "gt_attrs" in sb:
+                        g["attrs"] = sb["gt_attrs"][j]
+                    if "gt_num_pts" in sb:
+                        g["num_pts"] = sb["gt_num_pts"][j]
+                    gts.append(g)
 
     fps = n / t_total if t_total > 0 else 0.0
     print(f"eval: {num} samples, {fps:.2f} samples/s")
