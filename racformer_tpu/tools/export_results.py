@@ -31,12 +31,36 @@ CLASS_NAMES = (
     "motorcycle", "pedestrian", "traffic_cone", "barrier",
 )
 
+# mmdet3d NuScenesDataset.DefaultAttribute — the convention behind the
+# reference's submissions (its val.py formats boxes via mmdet3d
+# `_format_bbox`, which picks attributes velocity-aware; see
+# `attribute_for`)
 DEFAULT_ATTRS = {
-    "car": "vehicle.moving", "truck": "vehicle.moving", "bus": "vehicle.moving",
-    "trailer": "vehicle.moving", "construction_vehicle": "vehicle.parked",
+    "car": "vehicle.parked", "truck": "vehicle.parked",
+    "bus": "vehicle.moving", "trailer": "vehicle.parked",
+    "construction_vehicle": "vehicle.parked",
     "bicycle": "cycle.without_rider", "motorcycle": "cycle.without_rider",
-    "pedestrian": "pedestrian.standing", "traffic_cone": "", "barrier": "",
+    "pedestrian": "pedestrian.moving", "traffic_cone": "", "barrier": "",
 }
+
+_VEHICLES = ("car", "construction_vehicle", "bus", "truck", "trailer")
+
+
+def attribute_for(name: str, vx: float, vy: float) -> str:
+    """mmdet3d's velocity-aware attribute rule (`nuscenes_dataset.py
+    _format_bbox`): moving vehicles/cycles override the per-class default;
+    slow pedestrians stand, slow buses stop."""
+    if (vx * vx + vy * vy) ** 0.5 > 0.2:
+        if name in _VEHICLES:
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRS.get(name, "")
+    if name == "pedestrian":
+        return "pedestrian.standing"
+    if name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRS.get(name, "")
 
 
 def yaw_to_quaternion(yaw: float) -> List[float]:
@@ -69,7 +93,8 @@ def to_nuscenes_results(
                 "velocity": [float(b[7]), float(b[8])],
                 "detection_name": name,
                 "detection_score": float(s),
-                "attribute_name": DEFAULT_ATTRS.get(name, ""),
+                "attribute_name": attribute_for(
+                    name, float(b[7]), float(b[8])),
             })
         results[token] = recs
     return results

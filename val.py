@@ -286,6 +286,22 @@ def main():
                    "labels": g["labels"][g["mask"]]} for g in gts]
             metrics = kitti_vod_metrics(vp, vg)
         else:
+            # predicted attributes via mmdet3d's velocity-aware rule (the
+            # convention behind the reference's devkit submissions), coded
+            # into the same vocabulary as the baked GT attributes
+            from racformer_tpu.tools.export_results import attribute_for
+            from racformer_tpu.tools.gen_sweep_info import ATTRIBUTES
+
+            names = list(cfg.get("class_names", [])) or None
+            if names is not None:
+                for p in preds:
+                    boxes = np.asarray(p["bboxes"])
+                    labels = np.asarray(p["labels"])
+                    p["attrs"] = np.asarray([
+                        ATTRIBUTES.index(attribute_for(
+                            names[int(l)], float(b[7]), float(b[8])))
+                        for b, l in zip(boxes, labels)
+                    ], np.int32)
             metrics = nuscenes_metrics(
                 preds, gts, front_only=bool(cfg.get("eval_front_only", False))
             )
