@@ -216,31 +216,26 @@ class NuScenesRadarDataset:
         if "gt_boxes" in info:
             G = self.max_gt
             gt = np.asarray(info["gt_boxes"], np.float32)
-            if len(gt) and self.training and self.bev_aug_cfg:
-                gt = transform_boxes_bev(gt, bev_T, bev_ang, bev_scale)
             labels = np.asarray(info["gt_labels"], np.int64)
             n = min(len(gt), G)
-            gtb = np.zeros((G, 9), np.float32)
-            gtl = np.zeros((G,), np.int32)
-            gtm = np.zeros((G,), bool)
-            if n:
-                gtb[:n, : gt.shape[1]] = gt[:n, :9]
-                gtl[:n] = labels[:n]
-                gtm[:n] = True
-            sample.update(gt_bboxes=gtb, gt_labels=gtl, gt_mask=gtm)
+
             # attribute + point-count protocol fields from the baked
             # annotation record (tools/gen_sweep_info.py collect_gt),
-            # aligned to gt_boxes by nearest center (the mmdet3d converter
-            # and the raw table can order/filter annotations differently)
+            # aligned to the RAW (pre-augmentation) boxes by nearest BEV-xy
+            # center — xy only because some pkl conventions store
+            # bottom-center z while the tables carry gravity center. Always
+            # emitted (filled -1) so batch collation stays key-stable.
+            gta = np.full((G,), -1, np.int32)
+            gtp = np.full((G,), -1, np.int32)
             anno = info.get("gt_anno")
             if anno and n:
                 from ..tools.gen_sweep_info import ATTRIBUTES
 
                 centers = np.asarray([a["center"] for a in anno], np.float32)
-                gta = np.full((G,), -1, np.int32)
-                gtp = np.full((G,), -1, np.int32)
+                gt_vel = np.zeros((n, 2), np.float32)
+                has_vel = gt.shape[1] >= 9
                 for j in range(n):
-                    d = np.linalg.norm(centers - gtb[j, :3], axis=-1)
+                    d = np.linalg.norm(centers[:, :2] - gt[j, :2], axis=-1)
                     k = int(np.argmin(d))
                     if d[k] < 0.5:
                         name = anno[k].get("attribute", "")
@@ -249,7 +244,28 @@ class NuScenesRadarDataset:
                         lp = anno[k].get("num_lidar_pts", -1)
                         rp = anno[k].get("num_radar_pts", -1)
                         gtp[j] = (lp + rp) if lp >= 0 and rp >= 0 else -1
-                sample.update(gt_attrs=gta, gt_num_pts=gtp)
+                        gt_vel[j] = anno[k].get("velocity", (0.0, 0.0))
+                if not has_vel:
+                    # 7-dim pkl boxes: backfill velocity from the tables so
+                    # mAVE (and the training velocity target) is real
+                    gt = np.concatenate([gt[:, :7], np.zeros(
+                        (len(gt), 2), np.float32)], axis=1)
+                    gt[:n, 7:9] = gt_vel
+
+            if len(gt) and gt.shape[1] < 9:  # transform/pad expect 9 cols
+                gt = np.concatenate(
+                    [gt, np.zeros((len(gt), 9 - gt.shape[1]), np.float32)], 1)
+            if len(gt) and self.training and self.bev_aug_cfg:
+                gt = transform_boxes_bev(gt, bev_T, bev_ang, bev_scale)
+            gtb = np.zeros((G, 9), np.float32)
+            gtl = np.zeros((G,), np.int32)
+            gtm = np.zeros((G,), bool)
+            if n:
+                gtb[:n, : gt.shape[1]] = gt[:n, :9]
+                gtl[:n] = labels[:n]
+                gtm[:n] = True
+            sample.update(gt_bboxes=gtb, gt_labels=gtl, gt_mask=gtm,
+                          gt_attrs=gta, gt_num_pts=gtp)
             if self.training and "lidar_points" in info:
                 pts = np.asarray(info["lidar_points"], np.float32)
                 if len(pts) and self.bev_aug_cfg:

@@ -96,9 +96,13 @@ def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi,
             err_o.append(_yaw_diff(box[6], g[6], yaw_period))
             err_v.append(float(np.hypot(box[7] - g[7], box[8] - g[8])))
             if attr is not None and gt_attrs_c and s_idx in gt_attrs_c:
-                err_a.append(float(int(attr) != int(gt_attrs_c[s_idx][best_j])))
+                ga = int(gt_attrs_c[s_idx][best_j])
+                # devkit semantics: GT without a valid attribute (no
+                # annotation record, or an empty attribute like barriers)
+                # is EXCLUDED from AAE (NaN = not counted), not max error
+                err_a.append(float(int(attr) != ga) if ga > 0 else np.nan)
             else:
-                err_a.append(1.0)  # unknown attribute = max error
+                err_a.append(1.0)  # no attrs provided at all: conservative
         else:
             tp.append(0.0)
             fp.append(1.0)
@@ -203,10 +207,9 @@ def nuscenes_metrics(
         glabels = np.asarray(g["labels"])[gmask]
         gattrs = np.asarray(g["attrs"])[gmask] if "attrs" in g else None
         keep = in_range(gboxes, glabels)
-        if "num_pts" in g:  # devkit: drop GT with no lidar+radar points;
-            # negative counts mean "unknown" (no baked annotation) -> keep
-            npts = np.asarray(g["num_pts"])[gmask]
-            keep &= (npts > 0) | (npts < 0)
+        if "num_pts" in g:  # devkit: drop GT with KNOWN-zero lidar+radar
+            # points (negative = unknown -> keep)
+            keep &= np.asarray(g["num_pts"])[gmask] != 0
         if front_only:
             keep &= gboxes[:, 0] > 0
         gboxes, glabels = gboxes[keep], glabels[keep]

@@ -133,6 +133,7 @@ def chunk_layout(K: int, max_chunk: int = 1216):
     chunk MUST be a multiple of GROUP: the kernel iterates chunk // GROUP
     groups, so a non-multiple silently drops the chunk tail's gradients
     (this bit when GROUP moved to 64 under the old max_chunk=1200)."""
+    assert max_chunk >= GROUP, (max_chunk, GROUP)
     max_chunk = (max_chunk // GROUP) * GROUP
     if K >= max_chunk:
         nch = int(np.ceil(K / max_chunk))

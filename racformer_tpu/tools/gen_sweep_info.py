@@ -113,8 +113,8 @@ class Tables:
         self.attribute = self._index_optional(base, "attribute")
         self.category = self._index_optional(base, "category")
         self.instance = self._index_optional(base, "instance")
-        # instance -> time-ordered annotation tokens (for velocity finite
-        # differences, devkit `box_velocity` equivalent)
+        # sample token -> its annotation tokens (raw file order; velocity
+        # differencing walks each annotation's prev/next pointers instead)
         self.anns_of_sample: Dict[str, list] = {}
         for a in self.sample_annotation.values():
             self.anns_of_sample.setdefault(a["sample_token"], []).append(

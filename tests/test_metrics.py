@@ -86,8 +86,8 @@ def test_class_range_filter_drops_far_boxes():
 def test_attribute_error_when_provided():
     preds, gts = make_perfect_case(n_samples=2, n_per=5)
     for p, g in zip(preds, gts):
-        g["attrs"] = np.zeros(len(g["labels"]), np.int64)
-        p["attrs"] = np.zeros(len(p["labels"]), np.int64)
+        g["attrs"] = np.full(len(g["labels"]), 6, np.int64)  # vehicle.moving
+        p["attrs"] = np.full(len(p["labels"]), 6, np.int64)
     m = nuscenes_metrics(preds, gts)
     assert m["mAAE"] < 0.01
     # wrong attributes => max error
@@ -95,6 +95,18 @@ def test_attribute_error_when_provided():
         p["attrs"][:] = 3
     m2 = nuscenes_metrics(preds, gts)
     assert m2["mAAE"] > 0.9
+    # GT without a valid attribute (code <= 0) is EXCLUDED from AAE, not
+    # counted as error (devkit semantics): with every pred WRONG (3 vs 6)
+    # but half the GT attrs unknown, the error stays 1.0 only on classes
+    # retaining valid attrs — flipping those preds right must zero mAAE on
+    # them while the all-unknown classes fall back to the conservative 1.0,
+    # i.e. strictly between the all-wrong and all-right extremes
+    for p, g in zip(preds, gts):
+        p["attrs"][:] = 6
+        g["attrs"][::2] = -1
+        g["attrs"][1::2] = 6
+    m3 = nuscenes_metrics(preds, gts)
+    assert 0.0 < m3["mAAE"] < m2["mAAE"]
 
 
 def test_num_pts_filter():
