@@ -71,6 +71,18 @@ class CheckpointManager:
         restored = self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
         return step, restored
 
+    def restore_latest_eval(self, params_template, batch_stats_template):
+        """Restore only (params, batch_stats) from a training checkpoint —
+        eval has no optimizer state, and a full-template StandardRestore
+        refuses a tree whose `opt_state` leaf is None."""
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        item = {"params": params_template, "batch_stats": batch_stats_template}
+        restored = self.mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item=item, partial_restore=True))
+        return step, restored["params"], restored["batch_stats"]
+
 
 def apply_revise_keys(flat_params: dict, revise_keys) -> dict:
     """Remap pretrained parameter path prefixes, e.g. ('backbone',

@@ -84,3 +84,28 @@ def test_val_driver_multichip_matches_single(tmp_path):
         outs[name] = json.loads(m.group(0))
     for k, v in outs["single"].items():
         assert abs(outs["mesh8"][k] - v) < 1e-3, (k, outs)
+
+
+@pytest.mark.slow
+def test_train_then_val_checkpoint_roundtrip(tmp_path):
+    """The full persistence loop: train writes an orbax checkpoint, val
+    restores it by work_dir and evaluates (the reference's train ->
+    dist_test.sh --checkpoint flow)."""
+    wd = tmp_path / "wd"
+    r = _run([
+        sys.executable, "train.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--max-steps", "1",
+        "--work-dir", str(wd),
+        "--override", *TINY, "optimizer.warmup_steps=1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run([
+        sys.executable, "val.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--max-samples", "2",
+        "--checkpoint", str(wd),
+        "--override", *TINY,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mAP" in r.stdout or "NDS" in r.stdout, r.stdout[-1500:]

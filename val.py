@@ -144,20 +144,17 @@ def main():
                 variables = pickle.load(f)
             legacy_version = variables.pop("version", legacy_version)
         else:
-            # an orbax work_dir from train.py: restore the latest TrainState
-            from racformer_tpu.train import TrainState
+            # an orbax work_dir from train.py: restore (params, batch_stats)
+            # only — eval has no optimizer state to rebuild a full template
             from racformer_tpu.train.checkpoint import CheckpointManager
 
-            template = TrainState(
-                variables["params"], variables.get("batch_stats", {}), None,
-                jnp.zeros((), jnp.int32),
-            )
             ckpt = CheckpointManager(args.checkpoint, verify=False)
-            restored = ckpt.restore_latest(template)
+            restored = ckpt.restore_latest_eval(
+                variables["params"], variables.get("batch_stats", {}))
             if restored is None:
                 raise FileNotFoundError(f"no checkpoint under {args.checkpoint}")
-            _, state = restored
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            _, params, batch_stats = restored
+            variables = {"params": params, "batch_stats": batch_stats}
 
     ecfg = dict(cfg.get("eval_cfg", {}))
     ecfg.setdefault("legacy_version", legacy_version)
