@@ -109,3 +109,20 @@ def test_train_then_val_checkpoint_roundtrip(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mAP" in r.stdout or "NDS" in r.stdout, r.stdout[-1500:]
+
+
+@pytest.mark.slow
+def test_train_resume(tmp_path):
+    """--resume restores the latest TrainState and continues from its step."""
+    wd = tmp_path / "wd"
+    base = [
+        sys.executable, "train.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--work-dir", str(wd),
+        "--override", *TINY, "optimizer.warmup_steps=1",
+    ]
+    r = _run(base + ["--max-steps", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(base + ["--max-steps", "2", "--resume"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed from step" in r.stdout, r.stdout[-1500:]
