@@ -126,3 +126,30 @@ def test_train_resume(tmp_path):
     r = _run(base + ["--max-steps", "2", "--resume"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "resumed from step" in r.stdout, r.stdout[-1500:]
+
+
+@pytest.mark.slow
+def test_train_load_from_and_ema(tmp_path):
+    """--load-from (pretrained pickle, mmdet-named keys through revise_keys)
+    and --ema both run end to end; the EMA snapshot lands in the work dir."""
+    import pickle
+
+    import numpy as np
+
+    # fabricate a torch-style pretrained dict for the stem conv
+    sd = {"img_backbone.conv1.weight":
+          np.random.default_rng(0).normal(size=(64, 3, 7, 7)).astype("float32")}
+    pre = tmp_path / "pre.pkl"
+    with open(pre, "wb") as f:
+        pickle.dump(sd, f)
+
+    wd = tmp_path / "wd"
+    r = _run([
+        sys.executable, "train.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--max-steps", "1",
+        "--work-dir", str(wd), "--load-from", str(pre), "--ema",
+        "--override", *TINY, "optimizer.warmup_steps=1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (wd / "ema_params.pkl").exists()
