@@ -33,3 +33,18 @@ def test_submission_format(tmp_path, rng):
                        "attribute_name"}
     b = preds[0]["bboxes"][0]
     np.testing.assert_allclose(r0["translation"][2], b[2] + b[5] / 2, atol=1e-5)
+
+
+def test_attribute_for_velocity_rule():
+    """mmdet3d's velocity-aware attribute rule (nuscenes_dataset._format_bbox)."""
+    from racformer_tpu.tools.export_results import attribute_for
+
+    assert attribute_for("car", 3.0, 0.0) == "vehicle.moving"
+    assert attribute_for("car", 0.05, 0.0) == "vehicle.parked"
+    assert attribute_for("bicycle", 1.0, 0.0) == "cycle.with_rider"
+    assert attribute_for("bicycle", 0.0, 0.0) == "cycle.without_rider"
+    assert attribute_for("pedestrian", 0.0, 0.0) == "pedestrian.standing"
+    assert attribute_for("pedestrian", 1.0, 0.0) == "pedestrian.moving"
+    assert attribute_for("bus", 0.1, 0.0) == "vehicle.stopped"
+    assert attribute_for("bus", 1.0, 0.0) == "vehicle.moving"
+    assert attribute_for("traffic_cone", 1.0, 0.0) == ""
