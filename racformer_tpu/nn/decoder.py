@@ -222,6 +222,11 @@ class RaCFormerDecoder(nn.Module):
         # (`racformer_transformer.py:317-321,423-427,542-546,612-616`)
         # (measured: a save_only_these_names policy keeping the sampled
         # image features made no difference at B=1 — full remat stays)
+        # NOTE (measured, v5e device-plane): unrolling the 6 eval iterations
+        # as a Python loop over a reused module LOSES to the scan — every
+        # unrolled layer re-stages the large shared weights (the 67 MB
+        # AdaptiveMixing generator alone added ~39 ms/step of copies) while
+        # the while-loop keeps them resident across iterations.
         layer_cls = nn.remat(RaCFormerDecoderLayer, prevent_cse=False)
         scan = nn.scan(
             layer_cls,
