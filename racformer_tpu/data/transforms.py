@@ -64,7 +64,11 @@ class ImageAug:
         if self.flip:
             F = np.eye(4, dtype=np.float32)
             F[0, 0] = -1.0
-            F[0, 3] = fW - 1
+            # BEVStereo convention: x' = fW - x (ref transforms.py:294-296
+            # uses b = crop[2]-crop[0]); the pixel mirror is fW-1-x, a
+            # half-pixel quirk the trained checkpoints absorbed — match the
+            # matrix, not the "cleaner" fW-1
+            F[0, 3] = fW
             M = F @ M
         return M
 
