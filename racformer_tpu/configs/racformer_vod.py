@@ -24,3 +24,16 @@ data = dict(
     val=dict(ann_file="./data/vod/vod_infos_val.pkl", num_frames=1,
              frame_interval=1),
 )
+
+# train recipe: the reference repo ships no VoD config (its VoD support is
+# dataset+eval code only); these defaults follow the paper's single-frame
+# fine-tuning setup — fewer epochs than nuScenes, same optimizer family
+total_epochs = 24
+optimizer = dict(
+    base_lr=2e-4,
+    weight_decay=0.01,
+    clip_norm=35.0,
+    warmup_steps=500,
+    backbone_lr_mult=0.1,
+    sampling_offset_lr_mult=0.1,
+)
