@@ -171,12 +171,13 @@ def _main():
             img2lidar=batch["img2lidar"][0, t], timestamp=0.5 * t,
         )
 
+    T = model.num_frames
     for t in range(3):  # compile + warm the temporal cache
-        out = ev.step(frame(t), blocking=False)
+        out = ev.step(frame(t % T), blocking=False)
     jax.block_until_ready(out["scores"])
 
     trace_and_summarize(
-        lambda i: ev.step(frame(3 + i), blocking=False)["scores"],
+        lambda i: ev.step(frame((3 + i) % T), blocking=False)["scores"],
         n_steps=n_steps, outdir=outdir)
 
 
