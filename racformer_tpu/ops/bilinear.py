@@ -107,7 +107,6 @@ def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
     though the triple-index form pays a W-major twisted operand layout and
     a whole-output relayout copy."""
     C2 = fused.shape[-1]
-    batch_shape = view.shape
     idx = jnp.stack(
         [view.reshape(-1), y0p.reshape(-1), x0p.reshape(-1)], axis=-1
     )
@@ -120,18 +119,25 @@ def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
         fused, idx, dnums, slice_sizes=(1, 1, 2, C2),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     )
-    return patch.reshape(*batch_shape, 2, C2)
+    # stay FLAT [np, 2, 2C]: the gather emits plane-separated {2,0,1}
+    # (x0-plane then x1-plane, each a contiguous [np, 2C]); reshaping to the
+    # caller's batch shape here forced a whole-tensor relayout copy to
+    # {2,1,0:T(2,128)} (~47 ms/step in the round-3 decode profile). The lerp
+    # slices planes on axis 1 — free in the native layout — and only the
+    # final [np, C] result is reshaped (a major-dim split, also free).
+    return patch.reshape(-1, 2, C2)
 
 
 def _lerp_patch(patch: jax.Array, wx: jax.Array, wy: jax.Array) -> jax.Array:
+    """patch: FLAT [np, 2, 2C] (gather-native); wx/wy: any shape with np
+    elements. Returns flat [np, C]."""
     C2 = patch.shape[-1]
     C = C2 // 2
-    wx = wx.astype(patch.dtype)[..., None]
-    wy = wy.astype(patch.dtype)[..., None]
-    # (measured: wrapping these slices in an optimization_barrier does NOT
-    # remove the T(2,128) relayout copies XLA inserts after the gathers)
-    left = patch[..., 0, :]
-    right = patch[..., 1, :]
+    wx = wx.reshape(-1, 1).astype(patch.dtype)
+    wy = wy.reshape(-1, 1).astype(patch.dtype)
+    # plane slices on axis 1 are contiguous in the gather's {2,0,1} layout
+    left = patch[:, 0, :]
+    right = patch[:, 1, :]
     top = left[..., :C] * (1 - wx) + right[..., :C] * wx
     bot = left[..., C:] * (1 - wx) + right[..., C:] * wx
     return top * (1 - wy) + bot * wy
@@ -153,7 +159,8 @@ def _patch_sample(fused, view, y0p, x0p, wx, wy):
     reference's hand-written CUDA backward
     (`models/csrc/msmv_sampling/msmv_sampling_backward.cu:68-104`).
     """
-    return _lerp_patch(_gather_patch(fused, view, y0p, x0p), wx, wy)
+    out = _lerp_patch(_gather_patch(fused, view, y0p, x0p), wx, wy)
+    return out.reshape(*view.shape, out.shape[-1])
 
 
 def _patch_sample_fwd(fused, view, y0p, x0p, wx, wy):
@@ -175,8 +182,8 @@ def _patch_sample_bwd(res, g):
     wpad = int(np.ceil((Wp + WIN - 2) / 8)) * 8
     chunk, nch, kpad = chunk_layout(K)
 
-    g32 = g.astype(jnp.float32)
-    wy32 = wy.astype(jnp.float32)[..., None]
+    g32 = g.astype(jnp.float32).reshape(-1, C)
+    wy32 = wy.astype(jnp.float32).reshape(-1, 1)
     gfused = jnp.concatenate([g32 * (1 - wy32), g32 * wy32], axis=-1)
 
     def prep(a):
@@ -202,9 +209,9 @@ def _patch_sample_bwd(res, g):
     # relative to the scatter; the reference backward reads the same corners,
     # `msmv_sampling_backward.cu:75-101`)
     patch = _gather_patch(fused, view, y0p, x0p).astype(jnp.float32)
-    v00, v10 = patch[..., 0, :C], patch[..., 0, C:]
-    v01, v11 = patch[..., 1, :C], patch[..., 1, C:]
-    wx32 = wx.astype(jnp.float32)[..., None]
+    v00, v10 = patch[:, 0, :C], patch[:, 0, C:]
+    v01, v11 = patch[:, 1, :C], patch[:, 1, C:]
+    wx32 = wx.astype(jnp.float32).reshape(-1, 1)
     d_wx = jnp.sum(g32 * ((v01 - v00) * (1 - wy32) + (v11 - v10) * wy32), -1)
     top = v00 * (1 - wx32) + v01 * wx32
     bot = v10 * (1 - wx32) + v11 * wx32
@@ -212,7 +219,8 @@ def _patch_sample_bwd(res, g):
 
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (d_fused, zi(view), zi(y0p), zi(x0p),
-            d_wx.astype(wx.dtype), d_wy.astype(wy.dtype))
+            d_wx.reshape(wx.shape).astype(wx.dtype),
+            d_wy.reshape(wy.shape).astype(wy.dtype))
 
 
 _patch_sample.defvjp(_patch_sample_fwd, _patch_sample_bwd)
@@ -312,4 +320,5 @@ def bilinear_sample_views_nhwc(
         return fn(fused, jnp.broadcast_to(view, x.shape), y0p,
                   x0p, wx[..., 0], wy[..., 0])
     patch = _gather_patch(fused, jnp.broadcast_to(view, x.shape), y0p, x0p)
-    return _lerp_patch(patch, wx[..., 0], wy[..., 0])
+    out = _lerp_patch(patch, wx[..., 0], wy[..., 0])
+    return out.reshape(*x.shape, out.shape[-1])
