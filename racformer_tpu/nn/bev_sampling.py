@@ -86,6 +86,7 @@ class BEVCrossFrameAttention(nn.Module):
     num_heads: int = 4
     num_frames: int = 8
     dropout: float = 0.1
+    bev_pallas: Any = None  # None = auto (ops.deform_attn.resolve_bev_pallas)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -108,7 +109,8 @@ class BEVCrossFrameAttention(nn.Module):
         w = weights.transpose(0, 3, 1, 2, 4).reshape(B * T, Q, M, -1)
 
         out = deform_attn_single_level(
-            value, None, w, pre_fused=True, loc_xy=(lx, ly))  # [B*T, Q, C]
+            value, None, w, pre_fused=True, loc_xy=(lx, ly),
+            pallas=self.bev_pallas)  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
         qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
@@ -128,6 +130,7 @@ class BEVSampling(nn.Module):
     depth_num: int = 5
     pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     spatial_shape: tuple = (128, 128)
+    bev_pallas: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -200,6 +203,7 @@ class BEVSampling(nn.Module):
             self.embed_dims,
             self.num_heads,
             self.num_frames,
+            bev_pallas=self.bev_pallas,
             dtype=self.dtype,
             name="attention",
         )(query_feat, bev_value, (loc_x, loc_y), w, train=train)

@@ -85,6 +85,8 @@ class RaCFormerDecoderLayer(nn.Module):
     bev_spatial_shape: tuple = (128, 128)
     image_hw: tuple = (256, 704)
     train_mode: bool = False
+    bev_pallas: Any = None  # None = auto (ops.deform_attn.resolve_bev_pallas)
+    img_pallas: Any = None  # None = auto (ops.msmv.resolve_img_pallas)
     dtype: Any = jnp.float32
 
     def refine_bbox(self, bbox_proposal, bbox_delta):
@@ -115,21 +117,23 @@ class RaCFormerDecoderLayer(nn.Module):
         q_radar = BEVSampling(
             self.embed_dims, self.num_frames, 4, self.num_points_bev,
             self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
-            dtype=self.dtype, name="sampling_radar_bev",
+            bev_pallas=self.bev_pallas, dtype=self.dtype,
+            name="sampling_radar_bev",
         )(query_bbox, query_feat, radar_bev, time_diff, d_region, train=train)
         q_radar = nn.LayerNorm(dtype=self.dtype, name="norm_radar_bev")(q_radar)
 
         q_lss = BEVSampling(
             self.embed_dims, self.num_frames, 4, self.num_points_bev,
             self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
-            dtype=self.dtype, name="sampling_lss_bev",
+            bev_pallas=self.bev_pallas, dtype=self.dtype,
+            name="sampling_lss_bev",
         )(query_bbox, query_feat, lss_bev, time_diff, d_region, train=train)
         q_lss = nn.LayerNorm(dtype=self.dtype, name="norm_lss_bev")(q_lss)
 
         sampled = ImageRadialSampling(
             self.embed_dims, self.num_frames, 4, self.num_points,
             self.num_levels, self.img_depth_num, self.pc_range,
-            dtype=self.dtype, name="sampling",
+            img_pallas=self.img_pallas, dtype=self.dtype, name="sampling",
         )(query_bbox, query_feat, mlvl_feats, lidar2img, time_diff,
           self.image_hw, d_region, pre_fused=True)
 
@@ -243,4 +247,9 @@ class RaCFormerDecoder(nn.Module):
             carry, d_regions, mlvl_feats, lss_value, radar_value, attn_mask,
             lidar2img, time_diff,
         )
-        return jnp.nan_to_num(cls_scores), jnp.nan_to_num(bbox_preds)
+        # No NaN scrubbing here: a blanket nan_to_num on every decoder output
+        # would silently zero real numeric bugs through 6 iterations. Like
+        # the reference, NaN handling lives at the consumers that need it —
+        # the assigner cost (train/matching.py NaN->100, mirroring
+        # `polar_hungarian_assigner_3d.py`) and the loss target masks.
+        return cls_scores, bbox_preds

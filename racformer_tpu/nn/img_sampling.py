@@ -28,6 +28,7 @@ class ImageRadialSampling(nn.Module):
     num_levels: int = 4
     depth_num: int = 3
     pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    img_pallas: Any = None  # None = auto (ops.msmv.resolve_img_pallas)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,5 +110,5 @@ class ImageRadialSampling(nn.Module):
 
         return sample_image_features(
             sample_points, mlvl_feats, w, lidar2img, image_hw[0], image_hw[1],
-            pre_padded=pre_padded, pre_fused=pre_fused,
+            pre_padded=pre_padded, pre_fused=pre_fused, pallas=self.img_pallas,
         )

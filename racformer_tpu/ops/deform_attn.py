@@ -13,10 +13,35 @@ the attention-weighted sum over points, per head.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .bilinear import bilinear_sample_views_nhwc
+
+
+def resolve_bev_pallas(pallas: bool | None = None) -> bool:
+    """Whether the BEV deform-attn gather uses the Pallas patch kernel.
+
+    Precedence: explicit config value > `RACFORMER_BEV_PALLAS` env override
+    (kept for same-process A/B harnesses — the shared dev tunnel's run-to-run
+    variance makes cross-process comparisons useless) > backend default.
+
+    Default is ON for TPU: device-plane xplane A/B at flagship shapes
+    (docs/experiments/ab_bev_pallas_xplane.py) measured the decode while-loop
+    at 285.9 ms/step with the XLA gather vs 237.1 ms/step with the Pallas
+    kernel once the flat-lerp layout fix landed (the BEV maps are small
+    enough to sit VMEM-resident per slab; the image sampler keeps XLA — its
+    level-0 map is ~600 MB per stream). CPU uses the XLA path (the kernel
+    only runs under the slow interpreter there).
+    """
+    if pallas is not None:
+        return bool(pallas)
+    env = os.environ.get("RACFORMER_BEV_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def deform_attn_single_level(
@@ -26,6 +51,7 @@ def deform_attn_single_level(
     pre_padded: bool = False,
     loc_xy=None,
     pre_fused: bool = False,
+    pallas: bool | None = None,
 ) -> jax.Array:
     """Args:
       value: [S, H, W, M, c] — S batch slabs (B * num_bev_queue), M heads,
@@ -76,16 +102,9 @@ def deform_attn_single_level(
     slab = jnp.arange(S, dtype=jnp.int32)[:, None, None, None]
     sm = slab * M + head[None]
     val4 = val_h.reshape(S * M, *val_h.shape[2:])
-    # BEV maps are small + points dense, the profile where the VMEM-resident
-    # gather kernel can beat the XLA gather (the image sampler always keeps
-    # XLA — its level-0 map is ~600 MB per stream). Env-switchable because
-    # the shared dev tunnel's run-to-run variance demands same-process A/B.
-    import os
-
-    use_pallas = os.environ.get("RACFORMER_BEV_PALLAS", "0") == "1"
     out = bilinear_sample_views_nhwc(
         val4, sm, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
-        pallas_forward=use_pallas, pre_fused=pre_fused,
+        pallas_forward=resolve_bev_pallas(pallas), pre_fused=pre_fused,
     )
     out = jnp.sum(out * weights[..., None].astype(out.dtype), axis=3)  # [S, Q, M, c]
     return out.reshape(S, Q, M * c)

@@ -37,12 +37,15 @@ LANES = 128  # y-fused channels (2C); all production call sites have C=64
 
 
 def _chunk_layout(K: int, max_chunk: int = 4864):
-    """(chunk, nch, kpad) with chunk a multiple of this kernel's GROUP."""
-    if K >= max_chunk:
-        nch = int(np.ceil(K / max_chunk))
-        return max_chunk, nch, max_chunk * nch
-    chunk = int(np.ceil(K / GROUP)) * GROUP
-    return chunk, 1, chunk
+    """(chunk, nch, kpad) with chunk a multiple of this kernel's GROUP.
+
+    Chunks are BALANCED: nch is fixed by max_chunk, then the chunk size
+    shrinks to just cover K — e.g. K=10800 (the image sampler's per-slab
+    point count) gets 3x3712 (3% padding) instead of 3x4864 (35% padded
+    points, each a full window fetch + reduce of garbage)."""
+    nch = max(1, int(np.ceil(K / max_chunk)))
+    chunk = int(np.ceil(K / nch / GROUP)) * GROUP
+    return chunk, nch, chunk * nch
 
 
 def _kernel(packed_ref, of_ref, val_ref, out_ref, scratch_ref):

@@ -16,12 +16,33 @@ Autodiff (for features, locations and weights) comes for free.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
 from .bilinear import bilinear_sample_views_nhwc
+
+
+def resolve_img_pallas(pallas: bool | None = None) -> bool:
+    """Whether the image MSMV gather uses the Pallas patch kernel.
+
+    Precedence mirrors `ops.deform_attn.resolve_bev_pallas`: explicit config
+    value > `RACFORMER_IMG_PALLAS` env override > backend default (ON for
+    TPU). Device-plane xplane A/B at flagship shapes
+    (docs/experiments/ab_img_pallas_xplane.py, round 3): decode while-loop
+    237.2 -> 201.8 ms/step. The per-(frame, group) slab pyramids fit VMEM
+    (level 0: 6 cams x 67 rows x 184 x 128 bf16 ~= 19 MB), and the balanced
+    chunk layout keeps padded points under 4%; round 2's "image sampler
+    keeps XLA" conclusion predated the flat-lerp fix that removed the XLA
+    path's relayout advantage. CPU uses the XLA path."""
+    if pallas is not None:
+        return bool(pallas)
+    env = os.environ.get("RACFORMER_IMG_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def msmv_sample(
@@ -58,11 +79,13 @@ def msmv_sample_xyv(
     weights: jax.Array,
     pre_padded: bool = False,
     pre_fused: bool = False,
+    pallas: bool | None = None,
 ) -> jax.Array:
     """`msmv_sample` with unstacked (x, y, view) — the hot path: the packed
     trailing-3 loc tensor costs a stack/unstack round-trip (and a float
     view-index quantization) that the stacked API only keeps for parity with
     the reference's CUDA calling convention."""
+    use_pallas = resolve_img_pallas(pallas)
     N = mlvl_feats[0].shape[1]
     S = mlvl_feats[0].shape[0]
     slab = jnp.arange(S, dtype=jnp.int32)[:, None, None]
@@ -85,7 +108,7 @@ def msmv_sample_xyv(
         f4 = feat_l.reshape(S * N, *feat_l.shape[2:])
         out = bilinear_sample_views_nhwc(
             f4, sv, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
-            pre_fused=pre_fused,
+            pre_fused=pre_fused, pallas_forward=use_pallas,
         )
         return out * w_l[..., None].astype(out.dtype)
 

@@ -28,6 +28,23 @@ def torch_deform_attn(value, spatial_shapes, loc, weights):
     return out.view(S, M * c, Q).transpose(1, 2)  # [S, Q, M*c]
 
 
+def test_deform_attn_pallas_matches_xla(rng):
+    """The Pallas gather forward (default on TPU since round 3 — see
+    ops.deform_attn.resolve_bev_pallas) must match the XLA path bit-for-bit
+    semantics at the production per-head channel width (c=64 -> 128 fused
+    lanes). Runs the kernel in interpret mode on CPU."""
+    S, H, W, M, c, Q, P = 2, 12, 10, 4, 64, 6, 5
+    value = rng.normal(size=(S, H, W, M, c)).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, size=(S, Q, M, P, 2)).astype(np.float32)
+    weights = rng.uniform(size=(S, Q, M, P)).astype(np.float32)
+
+    base = np.asarray(
+        deform_attn_single_level(value, loc, weights, pallas=False))
+    got = np.asarray(
+        deform_attn_single_level(value, loc, weights, pallas=True))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
 def test_deform_attn_matches_mmcv_fallback(rng):
     S, H, W, M, c, Q, P = 3, 12, 10, 4, 8, 6, 5
     value = rng.normal(size=(S, H, W, M, c)).astype(np.float32)

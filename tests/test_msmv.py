@@ -97,3 +97,24 @@ def test_msmv_pre_padded_matches_unpadded(rng):
     padded = [np.asarray(pad_for_sampling(f)) for f in feats]
     b = np.asarray(msmv_sample(padded, loc, w, pre_padded=True))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_msmv_pallas_matches_xla(rng):
+    """The Pallas image-gather forward must match the XLA path at the
+    production per-group channel width (C=64 -> 128 fused lanes). Interpret
+    mode on CPU; covers the balanced chunk layout (K not a multiple of the
+    kernel GROUP)."""
+    from racformer_tpu.ops.msmv import msmv_sample_xyv
+
+    S, N, C, Q, P = 2, 3, 64, 5, 7
+    shapes = [(16, 22), (8, 11)]
+    feats = [rng.normal(size=(S, N, h, w, C)).astype(np.float32)
+             for h, w in shapes]
+    x = rng.uniform(-0.1, 1.1, size=(S, Q, P)).astype(np.float32)
+    y = rng.uniform(-0.1, 1.1, size=(S, Q, P)).astype(np.float32)
+    view = rng.integers(0, N, size=(S, Q, P)).astype(np.int32)
+    w = rng.uniform(size=(S, Q, P, 2)).astype(np.float32)
+
+    base = np.asarray(msmv_sample_xyv(feats, x, y, view, w, pallas=False))
+    got = np.asarray(msmv_sample_xyv(feats, x, y, view, w, pallas=True))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
