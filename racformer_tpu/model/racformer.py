@@ -163,11 +163,16 @@ class RaCFormer(nn.Module):
             f.reshape(S, N, f.shape[1], f.shape[2], G, c).transpose(0, 4, 1, 2, 3, 5)
             for f in fpn
         ]
-        # emit SAMPLER-READY maps: zero-bordered + y-fused rows. Built here
-        # (per frame) so the streaming cache stores them and each step fuses
-        # only the newest frame's pyramid; the train path fuses each frame
-        # exactly once per step either way.
-        fpn = [fuse_rows(pad_for_sampling(f)) for f in fpn]
+        # emit SAMPLER-READY maps: zero-bordered + y-fused rows, W-aligned
+        # so the Pallas gather never re-pads inside the decoder scan. Built
+        # here (per frame) so the streaming cache stores them and each step
+        # fuses only the newest frame's pyramid; the train path fuses each
+        # frame exactly once per step either way. `ImageRadialSampling`
+        # reconstructs the per-level true dims from these strides:
+        for l, f in enumerate(fpn):
+            assert f.shape[3:5] == (H // (4 << l), W // (4 << l)), (
+                f.shape, l, (H, W))
+        fpn = [fuse_rows(pad_for_sampling(f, align=True)) for f in fpn]
         lss_feat = self.img_lss_neck([c4, c5])  # [SN, H/16, W/16, C]
         hf, wf = lss_feat.shape[1], lss_feat.shape[2]
         lss_feat = lss_feat.astype(jnp.float32).reshape(S, N, hf, wf, self.embed_dims)

@@ -67,7 +67,10 @@ class BEVValueProj(nn.Module):
 
         M = self.num_heads
         v = v.astype(jnp.bfloat16).reshape(B * T, H, W, M, C // M)
-        return fuse_rows(pad_for_sampling(v.transpose(0, 3, 1, 2, 4)))
+        # W-aligned so the Pallas gather never re-pads inside the decoder
+        # scan; consumers pass true (H, W) via `true_hw` (= spatial_shape)
+        return fuse_rows(pad_for_sampling(v.transpose(0, 3, 1, 2, 4),
+                                          align=True))
 
 
 class BEVCrossFrameAttention(nn.Module):
@@ -87,6 +90,7 @@ class BEVCrossFrameAttention(nn.Module):
     num_frames: int = 8
     dropout: float = 0.1
     bev_pallas: Any = None  # None = auto (ops.deform_attn.resolve_bev_pallas)
+    spatial_shape: tuple | None = None  # true (H, W); required: value is W-aligned
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,7 +114,8 @@ class BEVCrossFrameAttention(nn.Module):
 
         out = deform_attn_single_level(
             value, None, w, pre_fused=True, loc_xy=(lx, ly),
-            pallas=self.bev_pallas)  # [B*T, Q, C]
+            pallas=self.bev_pallas,
+            true_hw=self.spatial_shape)  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
         qw = nn.Dense(T, dtype=jnp.float32, name="bev_queue_weight")(query)
@@ -140,13 +145,10 @@ class BEVSampling(nn.Module):
         (:class:`BEVValueProj`, hoisted out of the weight-shared iteration
         loop together with the radar temporal encoder); time_diff: [B, T];
         d_region: scalar."""
-        from ..ops.bilinear import PAD
-
         B, Q, _ = query_ray.shape
         T, M, P, D = self.num_frames, self.num_heads, self.num_points, self.depth_num
-        # bev_value: [B*T, M, Hp-1, Wp, 2c] (padded head-major, y-fused)
-        H = bev_value.shape[2] + 1 - 2 * PAD
-        W = bev_value.shape[3] - 2 * PAD
+        # bev_value: [B*T, M, Hp-1, Wp, 2c] (padded head-major, y-fused,
+        # W-aligned — true dims are self.spatial_shape, not shape-derived)
 
         query_bbox = theta_d_to_xy(query_ray)
 
@@ -204,6 +206,7 @@ class BEVSampling(nn.Module):
             self.num_heads,
             self.num_frames,
             bev_pallas=self.bev_pallas,
+            spatial_shape=self.spatial_shape,
             dtype=self.dtype,
             name="attention",
         )(query_feat, bev_value, (loc_x, loc_y), w, train=train)

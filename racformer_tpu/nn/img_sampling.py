@@ -108,7 +108,16 @@ class ImageRadialSampling(nn.Module):
         w = w.reshape(B, Q, G, T, D * P, L)
         w = jax.nn.softmax(w, axis=-1)
 
+        # per-level true dims: the stored fused maps are W-aligned for the
+        # Pallas gather (`pad_for_sampling(align=True)` in
+        # `RaCFormer.encode_frame`, which asserts these strides), so the
+        # sampler cannot derive them from the stored shape
+        true_hws = None
+        if pre_fused:
+            true_hws = [(image_hw[0] // (4 << l), image_hw[1] // (4 << l))
+                        for l in range(L)]
         return sample_image_features(
             sample_points, mlvl_feats, w, lidar2img, image_hw[0], image_hw[1],
             pre_padded=pre_padded, pre_fused=pre_fused, pallas=self.img_pallas,
+            true_hws=true_hws,
         )

@@ -67,12 +67,30 @@ def bilinear_sample_nhwc(
 PAD = 2  # zero border used by the patch-gather (see bilinear_sample_views_nhwc)
 
 
-def pad_for_sampling(feat: jax.Array) -> jax.Array:
+def aligned_width(W: int) -> int:
+    """Stored width that lets the Pallas gather kernel fetch its 8-aligned
+    16-wide window for ANY in-range point without a per-call pad: x0p <=
+    W + PAD, so windows end at ((W + PAD) // 8) * 8 + WIN. Always a multiple
+    of 8 and >= W + 2 * PAD."""
+    from .gather_kernel import WIN
+
+    return ((W + PAD) // 8) * 8 + WIN
+
+
+def pad_for_sampling(feat: jax.Array, align: bool = False) -> jax.Array:
     """Zero-pad the two spatial axes (..., H, W, C) by the sampling border and
     pin the result to a canonical layout. Hoist this OUT of loops: profiling
     shows XLA otherwise fuses the pad into each gather with a twisted operand
-    layout ({4,1,0,3,2}) that makes every 2x2 patch fetch strided."""
-    pads = [(0, 0)] * (feat.ndim - 3) + [(PAD, PAD), (PAD, PAD), (0, 0)]
+    layout ({4,1,0,3,2}) that makes every 2x2 patch fetch strided.
+
+    With `align=True` the W axis is right-padded to :func:`aligned_width` so
+    the Pallas gather never pads per call (the round-3 profile showed
+    ~21 ms/step of in-loop whole-map pads). Aligned maps over-claim W when
+    derived from shape — callers MUST pass the true (H, W) through the
+    samplers' `true_hw` arguments."""
+    W = feat.shape[-2]
+    right = (aligned_width(W) - W - PAD) if align else PAD
+    pads = [(0, 0)] * (feat.ndim - 3) + [(PAD, PAD), (PAD, right), (0, 0)]
     padded = jnp.pad(feat, pads)
     return jax.lax.optimization_barrier(padded)
 
@@ -257,6 +275,7 @@ def bilinear_sample_views_nhwc(
     blocked_views: bool = False,
     pallas_forward: bool = False,
     pre_fused: bool = False,
+    true_hw: tuple | None = None,
 ) -> jax.Array:
     """Sample `feat` [N, H, W, C] at (view, x, y); view is an int index.
 
@@ -296,6 +315,17 @@ def bilinear_sample_views_nhwc(
     else:
         N, H, W, C = feat.shape
         fused = fuse_rows(pad_for_sampling(feat))
+    if true_hw is not None:
+        # mandatory for W-aligned maps (`pad_for_sampling(align=True)`):
+        # the stored width over-claims W, which would skew both the
+        # align-corners scale and the out-of-range clamp
+        H, W = true_hw
+    if pallas_forward and fused.shape[2] < aligned_width(W):
+        # pad here, OUTSIDE the custom-VJP (autodiff slices the cotangent
+        # back); production maps arrive pre-aligned so this is a no-op there
+        fused = jnp.pad(
+            fused, [(0, 0), (0, 0), (0, aligned_width(W) - fused.shape[2]),
+                    (0, 0)])
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)

@@ -52,6 +52,7 @@ def deform_attn_single_level(
     loc_xy=None,
     pre_fused: bool = False,
     pallas: bool | None = None,
+    true_hw: tuple | None = None,
 ) -> jax.Array:
     """Args:
       value: [S, H, W, M, c] — S batch slabs (B * num_bev_queue), M heads,
@@ -85,6 +86,10 @@ def deform_attn_single_level(
     else:
         S, H, W, M, c = value.shape
         val_h = value.transpose(0, 3, 1, 2, 4)  # [S, M, H, W, c]
+    if true_hw is not None:
+        # required for W-aligned stored maps (`pad_for_sampling(align=True)`)
+        # whose shape over-claims W
+        H, W = true_hw
     if loc_xy is not None:
         x_norm, y_norm = loc_xy
     else:
@@ -105,6 +110,7 @@ def deform_attn_single_level(
     out = bilinear_sample_views_nhwc(
         val4, sm, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
         pallas_forward=resolve_bev_pallas(pallas), pre_fused=pre_fused,
+        true_hw=true_hw,
     )
     out = jnp.sum(out * weights[..., None].astype(out.dtype), axis=3)  # [S, Q, M, c]
     return out.reshape(S, Q, M * c)

@@ -49,16 +49,16 @@ def _chunk_layout(K: int, max_chunk: int = 4864):
 
 
 def _kernel(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
-    chunk = packed_ref.shape[3]
+    ng = packed_ref.shape[2]
 
     def body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
         for j in range(GROUP):
-            v = packed_ref[0, 0, 0, base + j]
+            v = packed_ref[0, 0, g, j]
             row = jax.lax.shift_right_logical(v, 16)
             xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
             scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
-        of = of_ref[0, 0, 0:1, pl.ds(base, GROUP)]           # [1, G] lanes
+        of = of_ref[0, 0, pl.ds(g, 1), :]                    # [1, G] lanes
         ofc = jnp.transpose(of, (1, 0))                      # [G, 1] sublanes
         col = jax.lax.broadcasted_iota(
             jnp.int32, (GROUP, WIN), 1).astype(jnp.float32)
@@ -72,7 +72,7 @@ def _kernel(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
         out_ref[0, 0, pl.ds(base, GROUP), :] = acc.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, chunk // GROUP, body, 0)
+    jax.lax.fori_loop(0, ng, body, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -86,24 +86,29 @@ def gather_patch_rows(
     """x-lerped single-row patch fetches from per-slab y-fused maps.
 
     Args:
-      packed: [S, NCH, 1, CHUNK] int32 — (row << 16) | window_start per
+      packed: [S, NCH, NG, GROUP] int32 — (row << 16) | window_start per
         point; row folds any sub-slab axis (head / camera view) the caller
-        folded into its gather index, window_start is 8-aligned.
-      of: [S, NCH, 1, CHUNK] float32 — x offset within the window + wx.
-      val: [S, R, Wpad, LANES] — y-fused feature map, Wpad >= window end.
+        folded into its gather index, window_start is 8-aligned. NG * GROUP
+        = CHUNK; the [NG, GROUP] trailing shape (instead of [1, CHUNK])
+        keeps the operand on a T(8,128)-tileable layout — the flat form
+        staged through ~24 ms/step of T(1,128) relayout DMAs in the round-3
+        decode profile.
+      of: [S, NCH, NG, GROUP] float32 — x offset within the window + wx.
+      val: [S, R, Wpad, LANES] — y-fused feature map with Wpad >= any
+        window end (callers guarantee via `bilinear.aligned_width`).
 
     Returns [S, NCH, CHUNK, LANES] in val.dtype. Padding points return
     garbage rows the caller slices off.
     """
-    S, NCH = packed.shape[0], packed.shape[1]
+    S, NCH, NG = packed.shape[0], packed.shape[1], packed.shape[2]
     R, WPAD = val.shape[1], val.shape[2]
     return pl.pallas_call(
         _kernel,
         grid=(S, NCH),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, chunk), lambda s, ch: (s, ch, 0, 0),
+            pl.BlockSpec((1, 1, NG, GROUP), lambda s, ch: (s, ch, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, chunk), lambda s, ch: (s, ch, 0, 0),
+            pl.BlockSpec((1, 1, NG, GROUP), lambda s, ch: (s, ch, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, WPAD, LANES), lambda s, ch: (s, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -129,24 +134,26 @@ def patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
     """
     NS, R0, Wp, C2 = fused.shape
     assert C2 == LANES, C2
+    # callers guarantee Wp covers every 8-aligned 16-wide window
+    # (`bilinear_sample_views_nhwc` pads to `aligned_width` when the map
+    # builder didn't) — no per-call whole-map pad here
+    assert Wp % 8 == 0, Wp
     S = view.shape[0]
     J = NS // S
     K = int(np.prod(view.shape[1:]))
-    wpad = int(np.ceil((Wp + WIN - 2) / 8)) * 8
     chunk, nch, kpad = _chunk_layout(K)
 
     val = fused.reshape(S, J * R0, Wp, C2)
-    if wpad != Wp:
-        val = jnp.pad(val, [(0, 0), (0, 0), (0, wpad - Wp), (0, 0)])
 
     def prep(a):
-        return pad_chunks(a.reshape(S, K), kpad).reshape(S, nch, chunk)
+        return pad_chunks(a.reshape(S, K), kpad).reshape(
+            S, nch, chunk // GROUP, GROUP)
 
     row = (view.reshape(S, K) % J) * R0 + y0p.reshape(S, K)
     xb = (x0p.reshape(S, K) // 8) * 8
     o = (x0p.reshape(S, K) - xb).astype(jnp.float32)
-    packed = prep((row << 16) | xb)[:, :, None]
-    of = prep(o + wx.reshape(S, K).astype(jnp.float32))[:, :, None]
+    packed = prep((row << 16) | xb)
+    of = prep(o + wx.reshape(S, K).astype(jnp.float32))
 
     interpret = jax.default_backend() == "cpu"
     res = gather_patch_rows(packed, of, val, chunk, interpret)

@@ -80,6 +80,7 @@ def msmv_sample_xyv(
     pre_padded: bool = False,
     pre_fused: bool = False,
     pallas: bool | None = None,
+    true_hws: Sequence[tuple] | None = None,
 ) -> jax.Array:
     """`msmv_sample` with unstacked (x, y, view) — the hot path: the packed
     trailing-3 loc tensor costs a stack/unstack round-trip (and a float
@@ -90,12 +91,15 @@ def msmv_sample_xyv(
     S = mlvl_feats[0].shape[0]
     slab = jnp.arange(S, dtype=jnp.int32)[:, None, None]
 
-    def sample_level(feat_l, w_l):
+    def sample_level(feat_l, w_l, true_hw):
         # feat_l: [S, N, H, W, C] (+2*PAD border when pre_padded; y-fused
         # padded [S, N, H+2*PAD-1, W+2*PAD, 2C] when pre_fused); w_l: [S, Q, P]
         from .bilinear import PAD
 
-        if pre_fused:
+        if true_hw is not None:
+            # mandatory with W-aligned stored maps (shape over-claims W)
+            H, W = true_hw
+        elif pre_fused:
             H = feat_l.shape[2] + 1 - 2 * PAD
             W = feat_l.shape[3] - 2 * PAD
         else:
@@ -108,13 +112,14 @@ def msmv_sample_xyv(
         f4 = feat_l.reshape(S * N, *feat_l.shape[2:])
         out = bilinear_sample_views_nhwc(
             f4, sv, x_pix, y_pix, pre_padded=pre_padded, blocked_views=True,
-            pre_fused=pre_fused, pallas_forward=use_pallas,
+            pre_fused=pre_fused, pallas_forward=use_pallas, true_hw=true_hw,
         )
         return out * w_l[..., None].astype(out.dtype)
 
-    acc = sample_level(mlvl_feats[0], weights[..., 0])
+    hws = true_hws or [None] * len(mlvl_feats)
+    acc = sample_level(mlvl_feats[0], weights[..., 0], hws[0])
     for l in range(1, len(mlvl_feats)):
-        acc = acc + sample_level(mlvl_feats[l], weights[..., l])
+        acc = acc + sample_level(mlvl_feats[l], weights[..., l], hws[l])
     return acc
 
 

@@ -99,6 +99,7 @@ def sample_image_features(
     pre_padded: bool = False,
     pre_fused: bool = False,
     pallas: bool | None = None,
+    true_hws: Sequence[tuple] | None = None,
 ) -> jax.Array:
     """Full `sampling_4d` equivalent.
 
@@ -133,7 +134,7 @@ def sample_image_features(
     from .msmv import msmv_sample_xyv
 
     out = msmv_sample_xyv(feats, to_slabs(lx), to_slabs(ly), to_slabs(lv),
-                          w, pre_padded=pre_padded,
-                          pre_fused=pre_fused, pallas=pallas)  # [B*T*G, Q, P, C]
+                          w, pre_padded=pre_padded, pre_fused=pre_fused,
+                          pallas=pallas, true_hws=true_hws)  # [B*T*G, Q, P, C]
     out = out.reshape(B, T, G, Q, P, C).transpose(0, 3, 2, 1, 4, 5)
     return out.reshape(B, Q, G, T * P, C)
