@@ -43,6 +43,10 @@ class BEVValueProj(nn.Module):
     num_heads: int = 4
     spatial_shape: tuple = (128, 128)
     dtype: Any = jnp.float32
+    # storage dtype of the sampler-ready value maps; bf16 halves the gather
+    # bandwidth (the decode bottleneck). Tests override to f32 through the
+    # model's `decoder={"gather_dtype": ...}` config for exact torch parity.
+    gather_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, bev_feats):
@@ -66,7 +70,7 @@ class BEVValueProj(nn.Module):
         from ..ops.bilinear import fuse_rows, pad_for_sampling
 
         M = self.num_heads
-        v = v.astype(jnp.bfloat16).reshape(B * T, H, W, M, C // M)
+        v = v.astype(self.gather_dtype).reshape(B * T, H, W, M, C // M)
         # W-aligned so the Pallas gather never re-pads inside the decoder
         # scan; consumers pass true (H, W) via `true_hw` (= spatial_shape)
         return fuse_rows(pad_for_sampling(v.transpose(0, 3, 1, 2, 4),

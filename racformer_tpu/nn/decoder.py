@@ -198,6 +198,7 @@ class RaCFormerDecoder(nn.Module):
         cfg["train_mode"] = self.train_mode
         embed_dims = cfg.get("embed_dims", 256)
         bev_shape = cfg.get("bev_spatial_shape", (128, 128))
+        gather_dtype = cfg.pop("gather_dtype", jnp.bfloat16)
 
         from .conv_gru import RadarBEVTemporalEncoder
         from .bev_sampling import BEVValueProj
@@ -212,11 +213,11 @@ class RaCFormerDecoder(nn.Module):
         )(radar_bev)
         radar_value = BEVValueProj(
             embed_dims, 4, bev_shape, dtype=self.dtype,
-            name="sampling_radar_bev_value",
+            gather_dtype=gather_dtype, name="sampling_radar_bev_value",
         )(radar_bev)
         lss_value = BEVValueProj(
             embed_dims, 4, bev_shape, dtype=self.dtype,
-            name="sampling_lss_bev_value",
+            gather_dtype=gather_dtype, name="sampling_lss_bev_value",
         )(lss_bev)
 
         # remat the scanned layer: without it the scan saves every iteration's
