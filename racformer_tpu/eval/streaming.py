@@ -29,6 +29,22 @@ class StreamingEvaluator:
 
         def encode(v, imgs, radar_points, radar_mask, radar_depth, radar_rcs,
                    img2lidar):
+            # the radar rasterizer writes whole COLUMNS (no-elevation smear,
+            # data/depth_maps.py:radar_to_depth_rcs_maps), so the dense
+            # [S, N, H, W] maps carry only [S, N, W] of information. Accept
+            # the column form and broadcast on device — this cuts the
+            # per-frame host->device payload by ~8.6 MB (measured 320 ms of
+            # the 515 ms streaming step was tunnel transfer,
+            # docs/experiments/overhead_split.py).
+            H = imgs.shape[2]
+            if radar_depth.ndim == 3:
+                S, N, W = radar_depth.shape
+                radar_depth = jnp.broadcast_to(
+                    radar_depth[:, :, None, :], (S, N, H, W))
+            if radar_rcs.ndim == 3:
+                S, N, W = radar_rcs.shape
+                radar_rcs = jnp.broadcast_to(
+                    radar_rcs[:, :, None, :], (S, N, H, W))
             fpn, lss, radar, _ = model.apply(
                 v, preprocess_images(imgs), radar_points, radar_mask,
                 radar_depth, radar_rcs, img2lidar, method=model.encode_frame,
@@ -89,11 +105,14 @@ class StreamingEvaluator:
         self.cache = None
 
     def step(self, frame: Dict, blocking: bool = True) -> Dict:
-        """frame: dict with imgs [N, H, W, 3] (raw), radar_points [P, 7],
-        radar_mask [P], radar_depth/rcs [N, H, W], lidar2img [N, 4, 4],
-        img2lidar [N, 4, 4], timestamp (float seconds, RELATIVE to the
-        scene start — epoch-seconds have a 128 s float32 ULP, which would
-        quantize inter-frame time_diff to 0 on device; val.py rebases).
+        """frame: dict with imgs [N, H, W, 3] (raw 0-255; uint8 preferred —
+        it is the pipeline-native form and 4x cheaper to upload),
+        radar_points [P, 7], radar_mask [P], radar_depth/rcs [N, H, W]
+        dense maps OR [N, W] column maps (the rasterizer's true payload),
+        lidar2img [N, 4, 4], img2lidar [N, 4, 4], timestamp (float seconds,
+        RELATIVE to the scene start — epoch-seconds have a 128 s float32
+        ULP, which would quantize inter-frame time_diff to 0 on device;
+        val.py rebases).
 
         Returns decoded boxes for the current frame.
         """
