@@ -209,6 +209,10 @@ class NuScenesRadarDataset:
             token=info.get("token", str(idx)),
             timestamp=np.float64(info.get("timestamp", 0)) / 1e6,
             scene=str(info.get("scene_token", "")),
+            # ego origin in the lidar frame (gen_sweep_info bakes it); the
+            # devkit measures eval range filters from the ego pose
+            ego_xy=np.asarray(info.get("ego2lidar_xy", (0.0, 0.0)),
+                              np.float32),
         )
 
         # GT comes along whenever the infos carry it (eval needs it for

@@ -35,6 +35,10 @@ MIN_PRECISION = 0.1
 NO_VELOCITY = {"traffic_cone", "barrier"}
 # classes with no attribute annotation (excluded from mAAE, protocol)
 NO_ATTRIBUTE = {"traffic_cone", "barrier"}
+# the devkit also excludes traffic cones from ORIENTATION error (they have
+# no meaningful yaw): evaluate.py's per-class TP selection sets
+# orient_err = NaN for traffic_cone alongside vel/attr
+NO_ORIENT = {"traffic_cone"}
 # classes where orientation is evaluated mod pi (protocol: barrier)
 PERIOD_PI = {"barrier"}
 # per-class max evaluation range in meters (nuScenes detection_cvpr_2019
@@ -58,26 +62,53 @@ def _yaw_diff(a: float, b: float, period: float) -> float:
     return float(min(d, period - d))
 
 
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """devkit `cummean`: NaN-aware cumulative mean; an all-NaN input returns
+    ones (max error), positions before the first valid value are 0."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    sum_vals = np.nancumsum(x.astype(np.float64))
+    count_vals = np.cumsum(~np.isnan(x))
+    return np.divide(sum_vals, count_vals, out=np.zeros_like(sum_vals),
+                     where=count_vals > 0)
+
+
+def _no_predictions_md():
+    """devkit `DetectionMetricData.no_predictions`."""
+    return dict(
+        precision=np.zeros(101), confidence=np.zeros(101),
+        trans_err=np.ones(101), scale_err=np.ones(101),
+        orient_err=np.ones(101), vel_err=np.ones(101), attr_err=np.ones(101),
+    )
+
+
 def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi,
                 gt_attrs_c=None):
-    """One (class, threshold) accumulation.
+    """One (class, threshold) accumulation — exact devkit `accumulate`
+    semantics (nuscenes-devkit detection/algo.py):
+
+      * greedy match by BEV center distance in score order (strict <, each
+        GT taken once);
+      * precision/confidence interpolated onto the 101-point recall grid;
+      * TP-error curves built from TP events ONLY (NaN-aware cumulative
+        mean over the matched sequence), then mapped onto the recall grid
+        THROUGH the interpolated confidence curve — not directly by recall
+        (round 2 interpolated the all-prediction cummean by recall, which
+        deviates whenever FPs interleave with TPs).
 
     preds_c: list of (sample_idx, score, box9, attr_or_None);
     gts_c: dict sample -> [G, 9]; gt_attrs_c: dict sample -> [G] int attrs.
-    Returns dict with interpolated precision + tp errors, devkit-style.
     """
     npos = sum(len(v) for v in gts_c.values())
     if npos == 0:
         return None
     if len(preds_c) == 0:
-        ones = np.ones(101)
-        return dict(precision=np.zeros(101), confidence=np.zeros(101),
-                    max_recall=0.0, trans_err=ones, scale_err=ones,
-                    orient_err=ones, vel_err=ones, attr_err=ones)
+        return _no_predictions_md()
     preds_sorted = sorted(preds_c, key=lambda x: -x[1])
     taken = {k: np.zeros(len(v), bool) for k, v in gts_c.items()}
     tp, fp, confs = [], [], []
-    err_t, err_s, err_o, err_v, err_a = [], [], [], [], []
+    match = {"trans_err": [], "scale_err": [], "orient_err": [],
+             "vel_err": [], "attr_err": [], "conf": []}
     for s_idx, score, box, attr in preds_sorted:
         gt = gts_c.get(s_idx)
         best, best_j = 1e18, -1
@@ -91,56 +122,46 @@ def _accumulate(preds_c, gts_c, dist_th: float, yaw_period: float = 2 * np.pi,
             tp.append(1.0)
             fp.append(0.0)
             g = gt[best_j]
-            err_t.append(best)
-            err_s.append(1.0 - _size_iou(box[3:6], g[3:6]))
-            err_o.append(_yaw_diff(box[6], g[6], yaw_period))
-            err_v.append(float(np.hypot(box[7] - g[7], box[8] - g[8])))
+            match["trans_err"].append(best)
+            match["scale_err"].append(1.0 - _size_iou(box[3:6], g[3:6]))
+            match["orient_err"].append(_yaw_diff(box[6], g[6], yaw_period))
+            match["vel_err"].append(
+                float(np.hypot(box[7] - g[7], box[8] - g[8])))
             if attr is not None and gt_attrs_c and s_idx in gt_attrs_c:
                 ga = int(gt_attrs_c[s_idx][best_j])
-                # devkit semantics: GT without a valid attribute (no
+                # devkit `attr_acc`: GT without a valid attribute (no
                 # annotation record, or an empty attribute like barriers)
                 # is EXCLUDED from AAE (NaN = not counted), not max error
-                err_a.append(float(int(attr) != ga) if ga > 0 else np.nan)
+                match["attr_err"].append(
+                    float(int(attr) != ga) if ga > 0 else np.nan)
             else:
-                err_a.append(1.0)  # no attrs provided at all: conservative
+                match["attr_err"].append(1.0)  # no attrs at all: conservative
+            match["conf"].append(score)
         else:
             tp.append(0.0)
             fp.append(1.0)
-            err_t.append(np.nan)
-            err_s.append(np.nan)
-            err_o.append(np.nan)
-            err_v.append(np.nan)
-            err_a.append(np.nan)
         confs.append(score)
+
+    if not match["conf"]:  # no matches at all (devkit: no_predictions)
+        return _no_predictions_md()
 
     tp = np.cumsum(tp)
     fp = np.cumsum(fp)
-    prec = tp / np.maximum(tp + fp, 1e-9)
-    rec = tp / npos
+    prec = tp / (tp + fp)
+    rec = tp / float(npos)
 
     rec_interp = np.linspace(0, 1, 101)
     prec_i = np.interp(rec_interp, rec, prec, right=0)
     conf_i = np.interp(rec_interp, rec, confs, right=0)
 
-    def interp_err(errs):
-        e = np.asarray(errs, np.float64)
-        ok = ~np.isnan(e)
-        if ok.sum() == 0:
-            return np.ones(101)
-        # cumulative mean over matched preds, indexed by recall position
-        cm = np.cumsum(np.nan_to_num(e)) / np.maximum(np.cumsum(ok), 1)
-        return np.interp(rec_interp, rec, cm, right=cm[-1] if len(cm) else 1.0)
-
-    return dict(
-        precision=prec_i,
-        confidence=conf_i,
-        max_recall=float(rec[-1]) if len(rec) else 0.0,
-        trans_err=interp_err(err_t),
-        scale_err=interp_err(err_s),
-        orient_err=interp_err(err_o),
-        vel_err=interp_err(err_v),
-        attr_err=interp_err(err_a),
-    )
+    md = dict(precision=prec_i, confidence=conf_i)
+    mconf = np.asarray(match["conf"], np.float64)
+    for key in ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err"):
+        tmp = _cummean(np.asarray(match[key], np.float64))
+        # map the TP-sequence cummean onto the recall grid via confidence
+        # (devkit: np.interp needs increasing x, hence the double reversal)
+        md[key] = np.interp(conf_i[::-1], mconf[::-1], tmp[::-1])[::-1]
+    return md
 
 
 def _ap_from_md(md) -> float:
@@ -153,8 +174,10 @@ def _ap_from_md(md) -> float:
 
 def _tp_from_md(md, key: str) -> float:
     first = int(MIN_RECALL * 100) + 1
-    last = int(round(md["max_recall"] * 100))  # devkit: clip to max achieved recall
-    if last <= first:
+    # devkit `max_recall_ind`: the last recall index with nonzero confidence
+    nz = np.nonzero(md["confidence"])[0]
+    last = int(nz[-1]) if len(nz) else 0
+    if last < first:
         return 1.0
     return float(np.mean(md[key][first : last + 1]))
 
@@ -168,14 +191,17 @@ def nuscenes_metrics(
 ) -> Dict[str, float]:
     """preds[i]: dict(bboxes [K, 9], scores [K], labels [K], valid [K],
     optional attrs [K] int); gts[i]: dict(bboxes [G, 9], labels [G], mask [G],
-    optional attrs [G] int, optional num_pts [G] int).
+    optional attrs [G] int, optional num_pts [G] int, optional ego_xy [2]
+    — the ego-vehicle origin in the box frame).
 
     Protocol filters implemented as in the devkit's `filter_eval_boxes`:
-    per-class max range (`class_range`, distance measured from the lidar
-    origin — the devkit uses the ego pose, a ~1 m xy offset) and removal of GT
-    boxes with zero lidar+radar points when `num_pts` is present. The devkit's
-    bike-rack filter needs nuScenes map records and is not reproducible from
-    info files; it removes a handful of bicycle/motorcycle GTs.
+    per-class max range measured from the EGO pose when `ego_xy` is present
+    (the devkit measures ego-frame distance; the lidar origin sits ~1 m away
+    — `gen_sweep_info` bakes `ego2lidar_xy` into infos) and removal of GT
+    boxes with zero lidar+radar points when `num_pts` is present. The
+    devkit's bike-rack filter needs nuScenes map records and is not
+    reproducible from info files; it removes a handful of bicycle/motorcycle
+    GTs.
     """
     num_classes = len(class_names)
     ranges = dict(CLASS_RANGE) if class_range is None else dict(class_range)
@@ -183,17 +209,18 @@ def nuscenes_metrics(
     per_class_gts = {c: {} for c in range(num_classes)}
     per_class_gt_attrs = {c: {} for c in range(num_classes)}
 
-    def in_range(boxes, labels):
+    def in_range(boxes, labels, ego_xy):
         r = np.asarray([ranges.get(class_names[int(l)], 1e9) for l in labels])
-        return np.hypot(boxes[:, 0], boxes[:, 1]) <= r
+        return np.hypot(boxes[:, 0] - ego_xy[0], boxes[:, 1] - ego_xy[1]) <= r
 
     for i, (p, g) in enumerate(zip(preds, gts)):
+        ego_xy = np.asarray(g.get("ego_xy", (0.0, 0.0)), np.float64)
         valid = np.asarray(p["valid"], bool)
         boxes = np.asarray(p["bboxes"])[valid]
         scores = np.asarray(p["scores"])[valid]
         labels = np.asarray(p["labels"])[valid]
         attrs = np.asarray(p["attrs"])[valid] if "attrs" in p else None
-        keep = in_range(boxes, labels)
+        keep = in_range(boxes, labels, ego_xy)
         if front_only:
             keep &= boxes[:, 0] > 0
         boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
@@ -206,7 +233,7 @@ def nuscenes_metrics(
         gboxes = np.asarray(g["bboxes"])[gmask]
         glabels = np.asarray(g["labels"])[gmask]
         gattrs = np.asarray(g["attrs"])[gmask] if "attrs" in g else None
-        keep = in_range(gboxes, glabels)
+        keep = in_range(gboxes, glabels, ego_xy)
         if "num_pts" in g:  # devkit: drop GT with KNOWN-zero lidar+radar
             # points (negative = unknown -> keep)
             keep &= np.asarray(g["num_pts"])[gmask] != 0
@@ -235,7 +262,8 @@ def nuscenes_metrics(
             if th == TP_THRESHOLD and md is not None:
                 tp_errs["trans_err"].append(_tp_from_md(md, "trans_err"))
                 tp_errs["scale_err"].append(_tp_from_md(md, "scale_err"))
-                tp_errs["orient_err"].append(_tp_from_md(md, "orient_err"))
+                if name not in NO_ORIENT:
+                    tp_errs["orient_err"].append(_tp_from_md(md, "orient_err"))
                 if name not in NO_VELOCITY:
                     tp_errs["vel_err"].append(_tp_from_md(md, "vel_err"))
                 if name not in NO_ATTRIBUTE:

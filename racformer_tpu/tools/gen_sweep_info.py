@@ -333,6 +333,14 @@ def main():
         info["gt_anno"] = collect_gt(tables, tok)
         info.setdefault("scene_token",
                         tables.sample.get(tok, {}).get("scene_token", ""))
+        # ego origin in the lidar (box) frame: the devkit measures eval
+        # distance filters from the EGO pose, not the lidar origin (~1 m xy
+        # offset) — eval/metrics.py consumes this as `ego_xy`
+        lidar_sd = tables.sample_data[tables.sample_to_sd[tok]["LIDAR_TOP"]]
+        cs = tables.calibrated_sensor[lidar_sd["calibrated_sensor_token"]]
+        ego2lidar = transform_matrix(cs["translation"], cs["rotation"],
+                                     inverse=True)
+        info["ego2lidar_xy"] = ego2lidar[:2, 3].astype(np.float32)
         # radar for each sweep step too (history frames)
         for sw in info["sweeps_cam"]:
             sw.setdefault("radar_points", info["radar_points"])

@@ -116,3 +116,134 @@ def test_num_pts_filter():
     preds[0]["valid"][0] = False
     m = nuscenes_metrics(preds, gts)
     assert m["mAP"] > 0.9
+
+
+def test_exact_hand_computed_scene():
+    """Exact devkit-spec values, computed by hand (no oracle code involved).
+
+    One sample, 4 car GTs, 3 TP preds (no FPs), constant errors so the
+    TP-error curves are interpolation-independent:
+      rec = [.25, .5, .75] -> precision 1.0 up to recall index 75, 0 after.
+      AP = 65 ones in the [11:101] window, scaled: 65/90.
+      mATE = 0.3 (all center offsets 0.3), mASE = 0 (same sizes),
+      mAOE = 0.2, mAVE = 0.4, mAAE = 0 (attrs match).
+      NDS = (5 * 65/90 + 0.7 + 1.0 + 0.8 + 0.6 + 1.0) / 10.
+    """
+    gt = np.zeros((4, 9), np.float32)
+    gt[:, 0] = [0.0, 10.0, 20.0, 30.0]
+    gt[:, 3:6] = (2.0, 4.0, 1.5)
+    gt[:, 6] = 0.5
+    gt[:, 7] = 1.0
+    pred = gt[:3].copy()
+    pred[:, 0] += 0.3   # trans err 0.3 (< 0.5, TP at every threshold)
+    pred[:, 6] += 0.2   # orient err 0.2
+    pred[:, 7] += 0.4   # vel err 0.4
+    preds = [dict(bboxes=pred, scores=np.array([0.9, 0.8, 0.7]),
+                  labels=np.zeros(3, np.int64), valid=np.ones(3, bool),
+                  attrs=np.full(3, 6, np.int64))]
+    gts = [dict(bboxes=gt, labels=np.zeros(4, np.int64),
+                mask=np.ones(4, bool), attrs=np.full(4, 6, np.int64))]
+    m = nuscenes_metrics(preds, gts, class_names=("car",))
+    ap = 65.0 / 90.0
+    np.testing.assert_allclose(m["mAP"], ap, atol=1e-9)
+    np.testing.assert_allclose(m["mATE"], 0.3, atol=1e-6)
+    np.testing.assert_allclose(m["mASE"], 0.0, atol=1e-6)
+    np.testing.assert_allclose(m["mAOE"], 0.2, atol=1e-6)
+    np.testing.assert_allclose(m["mAVE"], 0.4, atol=1e-6)
+    np.testing.assert_allclose(m["mAAE"], 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        m["NDS"], (5 * ap + 0.7 + 1.0 + 0.8 + 0.6 + 1.0) / 10.0, atol=1e-6)
+
+
+def test_matches_devkit_oracle_randomized():
+    """Full-protocol agreement with tests/devkit_oracle.py (an independent
+    transliteration of the devkit accumulate/calc_ap/calc_tp/ND-score) on
+    randomized multi-class scenes with interleaved TPs/FPs, attributes,
+    missing attributes, and barrier/cone exclusions."""
+    from racformer_tpu.eval.metrics import CLASS_NAMES
+    from tests.devkit_oracle import evaluate as oracle_evaluate
+
+    rng = np.random.default_rng(42)
+    names = ("car", "pedestrian", "barrier", "traffic_cone")
+    name_to_label = {n: CLASS_NAMES.index(n) for n in names}
+
+    preds, gts = [], []
+    o_gt = {n: [] for n in names}
+    o_pred = {n: [] for n in names}
+    n_samples = 5
+    for s in range(n_samples):
+        G = int(rng.integers(3, 8))
+        gtb = np.zeros((G, 9), np.float32)
+        gtb[:, 0:2] = rng.uniform(-20, 20, size=(G, 2))
+        gtb[:, 3:6] = rng.uniform(0.5, 4.0, size=(G, 3))
+        gtb[:, 6] = rng.uniform(-np.pi, np.pi, size=G)
+        gtb[:, 7:9] = rng.normal(size=(G, 2))
+        gname = rng.choice(names, size=G)
+        glab = np.array([name_to_label[n] for n in gname])
+        gattr = np.where(rng.random(G) < 0.3, -1,
+                         rng.integers(1, 8, size=G)).astype(np.int64)
+
+        # predictions: noisy copies of a random subset + pure FPs
+        K = int(rng.integers(2, 10))
+        pick = rng.integers(0, G, size=K)
+        pb = gtb[pick].copy()
+        pb[:, 0:2] += rng.normal(scale=1.2, size=(K, 2))
+        pb[:, 3:6] = np.maximum(pb[:, 3:6] + rng.normal(scale=0.4, size=(K, 3)), 0.2)
+        pb[:, 6] += rng.normal(scale=0.5, size=K)
+        pb[:, 7:9] += rng.normal(scale=0.5, size=(K, 2))
+        plab = glab[pick].copy()
+        flip = rng.random(K) < 0.2  # some label noise -> cross-class FPs
+        plab[flip] = np.array([name_to_label[n]
+                               for n in rng.choice(names, size=int(flip.sum()))])
+        pscore = rng.uniform(0.05, 1.0, size=K)
+        pattr = rng.integers(1, 8, size=K).astype(np.int64)
+
+        preds.append(dict(bboxes=pb, scores=pscore, labels=plab,
+                          valid=np.ones(K, bool), attrs=pattr))
+        gts.append(dict(bboxes=gtb, labels=glab, mask=np.ones(G, bool),
+                        attrs=gattr))
+
+        for j in range(G):
+            o_gt[gname[j]].append(dict(
+                sample=s, x=gtb[j, 0], y=gtb[j, 1], w=gtb[j, 3], l=gtb[j, 4],
+                h=gtb[j, 5], yaw=gtb[j, 6], vx=gtb[j, 7], vy=gtb[j, 8],
+                attr=int(gattr[j])))
+        for j in range(K):
+            name = [n for n, l in name_to_label.items() if l == plab[j]][0]
+            o_pred[name].append(dict(
+                sample=s, x=pb[j, 0], y=pb[j, 1], w=pb[j, 3], l=pb[j, 4],
+                h=pb[j, 5], yaw=pb[j, 6], vx=pb[j, 7], vy=pb[j, 8],
+                attr=int(pattr[j]), score=float(pscore[j])))
+
+    got = nuscenes_metrics(preds, gts, class_names=CLASS_NAMES)
+    want = oracle_evaluate(o_gt, o_pred, names)
+    for k in ("mAP", "mATE", "mASE", "mAOE", "mAVE", "mAAE", "NDS"):
+        np.testing.assert_allclose(got[k], want[k], atol=1e-9, err_msg=k)
+
+
+def test_ego_relative_range_filter():
+    """With ego_xy present, range is measured from the ego pose: a car GT
+    49.5 m from the lidar origin but 50.5 m from ego must be dropped."""
+    gt = np.zeros((2, 9), np.float32)
+    gt[:, 0] = [10.0, 49.5]
+    gt[:, 3:6] = 2.0
+    pred = gt.copy()
+    base_p = dict(bboxes=pred, scores=np.array([0.9, 0.8]),
+                  labels=np.zeros(2, np.int64), valid=np.ones(2, bool))
+    base_g = dict(bboxes=gt, labels=np.zeros(2, np.int64),
+                  mask=np.ones(2, bool))
+    m_lidar = nuscenes_metrics([dict(base_p)], [dict(base_g)],
+                               class_names=("car",))
+    g2 = dict(base_g)
+    g2["ego_xy"] = np.array([-1.0, 0.0], np.float32)  # ego 1 m behind lidar
+    m_ego = nuscenes_metrics([dict(base_p)], [g2], class_names=("car",))
+    assert m_lidar["mAP"] > 0.7          # both GTs in range, both matched
+    assert m_ego["mAP"] > 0.7            # far pair dropped on BOTH sides
+    # make the far pred a miss instead: with lidar-origin filtering it stays
+    # and costs precision; with ego filtering both its GT and the pred drop
+    pred2 = pred.copy()
+    pred2[1, 0] = 45.0  # 4.5 m off its GT: an unmatched pred if kept
+    p2 = dict(base_p, bboxes=pred2)
+    m_lidar2 = nuscenes_metrics([p2], [dict(base_g)], class_names=("car",))
+    m_ego2 = nuscenes_metrics([p2], [g2], class_names=("car",))
+    assert m_ego2["mAP"] > m_lidar2["mAP"]

@@ -224,6 +224,8 @@ def main():
                     g["attrs"] = s["gt_attrs"]
                 if "gt_num_pts" in s:
                     g["num_pts"] = s["gt_num_pts"]
+                if "ego_xy" in s:
+                    g["ego_xy"] = s["ego_xy"]
                 gts.append(g)
     else:
         # batched offline eval, sharded over the data mesh: the TPU-native
@@ -278,6 +280,8 @@ def main():
                         g["attrs"] = sb["gt_attrs"][j]
                     if "gt_num_pts" in sb:
                         g["num_pts"] = sb["gt_num_pts"][j]
+                    if "ego_xy" in sb:
+                        g["ego_xy"] = sb["ego_xy"][j]
                     gts.append(g)
 
     fps = n / t_total if t_total > 0 else 0.0
