@@ -4,7 +4,10 @@ Round-1 baseline: 8.8 s/step, of which ~6.7 s was XLA's scatter-add backward
 of the sampling gathers. This script measures the full jitted train step
 (forward + backward + AdamW) with the slope protocol.
 
-Usage: python train_step_bench.py [steps]
+Usage: python train_step_bench.py [steps] [batch]
+
+Round-3 addendum: pass batch=2 to measure the reference recipe's 2
+samples/device (`configs/racformer_r50_nuimg_704x256_f8.py:295-308`).
 """
 import sys
 import time
@@ -22,8 +25,10 @@ from racformer_tpu.model import preprocess_images
 from racformer_tpu.train import TrainState, make_optimizer, make_train_step
 
 model = _flagship_model(train=True)
-batch = _example_batch(model, B=1, P=1536, with_gt=True)
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+batch = _example_batch(model, B=B, P=1536, with_gt=True)
 batch = {k: jnp.asarray(v) for k, v in batch.items()}
+print(f"batch B={B}")
 
 t0 = time.time()
 variables = jax.jit(model.init)(
