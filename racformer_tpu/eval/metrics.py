@@ -188,6 +188,7 @@ def nuscenes_metrics(
     class_names: Sequence[str] = CLASS_NAMES,
     front_only: bool = False,
     class_range: Optional[Dict[str, float]] = None,
+    return_curves: bool = False,
 ) -> Dict[str, float]:
     """preds[i]: dict(bboxes [K, 9], scores [K], labels [K], valid [K],
     optional attrs [K] int); gts[i]: dict(bboxes [G, 9], labels [G], mask [G],
@@ -251,25 +252,34 @@ def nuscenes_metrics(
     aps = []
     tp_errs = {"trans_err": [], "scale_err": [], "orient_err": [],
                "vel_err": [], "attr_err": []}
+    curves: Dict = {}
+    per_class: Dict[str, Dict[str, float]] = {}
     for c in range(num_classes):
         cls_aps = []
         name = class_names[c]
         period = np.pi if name in PERIOD_PI else 2 * np.pi
+        pc = {}
         for th in DIST_THRESHOLDS:
             md = _accumulate(per_class_preds[c], per_class_gts[c], th, period,
                              gt_attrs_c=per_class_gt_attrs[c])
             cls_aps.append(_ap_from_md(md) if md else np.nan)
+            if md is not None:
+                curves[(name, th)] = md
+                pc[f"AP@{th}"] = _ap_from_md(md)
             if th == TP_THRESHOLD and md is not None:
-                tp_errs["trans_err"].append(_tp_from_md(md, "trans_err"))
-                tp_errs["scale_err"].append(_tp_from_md(md, "scale_err"))
-                if name not in NO_ORIENT:
-                    tp_errs["orient_err"].append(_tp_from_md(md, "orient_err"))
-                if name not in NO_VELOCITY:
-                    tp_errs["vel_err"].append(_tp_from_md(md, "vel_err"))
-                if name not in NO_ATTRIBUTE:
-                    tp_errs["attr_err"].append(_tp_from_md(md, "attr_err"))
+                for key, excl in (("trans_err", ()), ("scale_err", ()),
+                                  ("orient_err", NO_ORIENT),
+                                  ("vel_err", NO_VELOCITY),
+                                  ("attr_err", NO_ATTRIBUTE)):
+                    v = _tp_from_md(md, key)
+                    if name not in excl:
+                        tp_errs[key].append(v)
+                        pc[key] = v
         if not np.all(np.isnan(cls_aps)):
             aps.append(np.nanmean(cls_aps))
+            pc["AP"] = float(np.nanmean(cls_aps))
+        if pc:
+            per_class[name] = pc
 
     mAP = float(np.mean(aps)) if aps else 0.0
     out = {"mAP": mAP}
@@ -281,4 +291,10 @@ def nuscenes_metrics(
     tp_sum = sum(max(0.0, 1.0 - min(1.0, out[k])) for k in
                  ("mATE", "mASE", "mAOE", "mAVE", "mAAE"))
     out["NDS"] = float((5.0 * mAP + tp_sum) / 10.0)
+    if return_curves:
+        # non-scalar diagnostics for tools/eval_plots.py (the devkit's
+        # DetectionMetricDataList equivalent): {(class, th): md curves} and
+        # per-class AP / TP-error scalars
+        out["curves"] = curves
+        out["per_class"] = per_class
     return out

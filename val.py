@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1,
                    help="samples per chip; the effective batch is this times "
                         "jax.device_count() (sharded over the data mesh)")
+    p.add_argument("--plot-dir", default=None,
+                   help="write PR/TP-curve diagnostics + LaTeX table here "
+                        "(tools/eval_plots.py, the reference's render.py set)")
+    p.add_argument("--dump-eval", default=None,
+                   help="pickle (preds, gts) here for offline re-analysis")
     return p.parse_args()
 
 
@@ -318,9 +323,23 @@ def main():
                         for b, l in zip(boxes, labels)
                     ], np.int32)
             metrics = nuscenes_metrics(
-                preds, gts, front_only=bool(cfg.get("eval_front_only", False))
+                preds, gts, front_only=bool(cfg.get("eval_front_only", False)),
+                return_curves=bool(args.plot_dir),
             )
-        print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}, indent=2))
+            if args.plot_dir:
+                # the metrics call indexes labels into the protocol
+                # CLASS_NAMES, so the plots must too
+                from racformer_tpu.tools.eval_plots import render_all
+
+                render_all(metrics, args.plot_dir)
+                print(f"eval plots -> {args.plot_dir}")
+        if args.dump_eval:
+            import pickle
+
+            with open(args.dump_eval, "wb") as f:
+                pickle.dump((preds, gts), f)
+        print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()
+                          if isinstance(v, (int, float))}, indent=2))
 
 
 if __name__ == "__main__":
