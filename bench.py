@@ -107,8 +107,96 @@ def main():
             max((run(2 * n) - run(n)) / n, 1e-6) for _ in range(3))
         return 1.0 / slopes[1]
 
+    def measure_loader():
+        """Disk JPEGs -> native decode + column rasterize in worker threads
+        (data/prefetch.py) -> streaming step: the FULL host pipeline inside
+        the timed loop (VERDICT r2 item 5's loader-driven variant)."""
+        import io
+        import os
+        import tempfile
+
+        from PIL import Image
+
+        from racformer_tpu.data import native
+        from racformer_tpu.data.depth_maps import (project_to_image,
+                                                   radar_to_depth_rcs_maps)
+        from racformer_tpu.data.prefetch import PrefetchLoader
+
+        N = batch["imgs"].shape[2]
+        H, W = model.image_hw
+        tmpdir = tempfile.mkdtemp(prefix="bench_jpegs_")
+        paths = {}
+        for t in range(T):
+            for n in range(N):
+                p = os.path.join(tmpdir, f"f{t}_c{n}.jpg")
+                Image.fromarray(np.clip(batch["imgs"][0, t, n], 0, 255)
+                                .astype(np.uint8)).save(p, quality=90)
+                paths[(t, n)] = p
+        l2i_all = batch["lidar2img"][0]
+        pts_all = batch["radar_points"][0]
+        mask_all = np.asarray(batch["radar_mask"][0], bool)
+
+        class DiskFrames:
+            def __getitem__(self, i):
+                t = i % T
+                imgs = []
+                for n in range(N):
+                    with open(paths[(t, n)], "rb") as f:
+                        data = f.read()
+                    img = (native.decode_jpeg(data, max_hw=(H, W))
+                           if native.available() else None)
+                    if img is None:
+                        img = np.asarray(
+                            Image.open(io.BytesIO(data)).convert("RGB"))
+                    imgs.append(img)
+                pts = pts_all[t][mask_all[t]]
+                dep, rcs = [], []
+                for n in range(N):
+                    if native.available():
+                        u, v, d = project_to_image(pts[:, :3], l2i_all[t, n])
+                        uvdr = np.stack([u, v, d, pts[:, 3]], 1)
+                        dm, rm = native.radar_columns(uvdr, (1, W))
+                    else:
+                        dm, rm = radar_to_depth_rcs_maps(
+                            pts, l2i_all[t, n], (1, W))
+                    dep.append(dm[0])
+                    rcs.append(rm[0])
+                return dict(
+                    imgs=np.stack(imgs), radar_points=pts_all[t],
+                    radar_mask=mask_all[t], radar_depth=np.stack(dep),
+                    radar_rcs=np.stack(rcs), lidar2img=l2i_all[t],
+                    img2lidar=np.asarray(batch["img2lidar"][0, t]),
+                )
+
+        ev = StreamingEvaluator(model, variables)
+        n = 8
+        total = T + 3 * (2 * n + n)
+        loader = PrefetchLoader(DiskFrames(), lambda s: [s], total,
+                                num_workers=2, prefetch=3)
+        consumed = [0]
+
+        def run(k):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                s = consumed[0]
+                b = loader.get(s)
+                consumed[0] += 1
+                f = {kk: v[0] for kk, v in b.items()}
+                f["timestamp"] = 0.5 * (s % T)
+                out = ev.step(f, blocking=False)
+            float(jax.device_get(out["scores"][0, 0]))
+            return time.perf_counter() - t0
+
+        run(T)
+        slopes = sorted(
+            max((run(2 * n) - run(n)) / n, 1e-6) for _ in range(3))
+        loader.close()
+        return 1.0 / slopes[1]
+
     fps_dev = measure(dev_frame)
     fps_e2e = measure(host_frame)
+    fps_loader = measure_loader()
 
     print(
         json.dumps(
@@ -119,9 +207,15 @@ def main():
                          "slope-measured, device-resident inputs)"),
                 "vs_baseline": round(fps_dev / A100_REFERENCE_FPS, 3),
                 "fps_e2e_tunnel": round(fps_e2e, 3),
-                "e2e_note": ("uint8 images + column radar maps uploaded "
-                             "per-step through the ~45 MB/s axon dev tunnel; "
-                             "on a production host this transfer is ~1 ms"),
+                "fps_e2e_loader": round(fps_loader, 3),
+                "e2e_note": ("e2e_tunnel: uint8 images + column radar maps "
+                             "uploaded per-step through the ~45 MB/s axon "
+                             "dev tunnel (a production host moves this in "
+                             "~1 ms); e2e_loader: disk JPEGs -> native "
+                             "libjpeg decode + column radar rasterization "
+                             "in 2 prefetch worker threads -> streaming "
+                             "step, the full host pipeline in the timed "
+                             "loop"),
                 "baseline_note": ("A100_REFERENCE_FPS=4.5 is assumed (no "
                                   "published figure); see bench.py docstring "
                                   "for the bracket"),
