@@ -39,6 +39,11 @@ def decode_boxes(
     B, Q, C = cls_scores.shape
     max_num = min(max_num, Q * C)
     scores = jax.nn.sigmoid(cls_scores).reshape(B, Q * C)
+    # the decoder does not scrub NaNs (a blanket nan_to_num would hide real
+    # numeric bugs as zeros); the eval boundary is where they must not leak:
+    # sigmoid(NaN)=NaN would otherwise make top_k select garbage boxes.
+    # -inf -> never selected, and such boxes also fail the score threshold.
+    scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
     top_scores, idx = jax.lax.top_k(scores, max_num)
     labels = idx % C
     box_idx = idx // C

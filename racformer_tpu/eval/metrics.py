@@ -262,10 +262,11 @@ def nuscenes_metrics(
         for th in DIST_THRESHOLDS:
             md = _accumulate(per_class_preds[c], per_class_gts[c], th, period,
                              gt_attrs_c=per_class_gt_attrs[c])
-            cls_aps.append(_ap_from_md(md) if md else np.nan)
+            ap = _ap_from_md(md) if md is not None else np.nan
+            cls_aps.append(ap)
             if md is not None:
                 curves[(name, th)] = md
-                pc[f"AP@{th}"] = _ap_from_md(md)
+                pc[f"AP@{th}"] = ap
             if th == TP_THRESHOLD and md is not None:
                 for key, excl in (("trans_err", ()), ("scale_err", ()),
                                   ("orient_err", NO_ORIENT),

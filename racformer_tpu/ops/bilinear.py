@@ -67,6 +67,24 @@ def bilinear_sample_nhwc(
 PAD = 2  # zero border used by the patch-gather (see bilinear_sample_views_nhwc)
 
 
+def resolve_pallas(env_name: str, pallas: bool | None = None) -> bool:
+    """Shared precedence for the Pallas patch-gather switches: explicit
+    config value > env override (kept for same-process A/B harnesses — the
+    shared dev tunnel's run-to-run variance makes cross-process comparisons
+    useless) > backend default (ON for TPU, OFF elsewhere: on CPU the kernel
+    only runs under the slow interpreter)."""
+    import os
+
+    import jax
+
+    if pallas is not None:
+        return bool(pallas)
+    env = os.environ.get(env_name)
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def aligned_width(W: int) -> int:
     """Stored width that lets the Pallas gather kernel fetch its 8-aligned
     16-wide window for ANY in-range point without a per-call pad: x0p <=
@@ -320,6 +338,13 @@ def bilinear_sample_views_nhwc(
         # the stored width over-claims W, which would skew both the
         # align-corners scale and the out-of-range clamp
         H, W = true_hw
+    elif pre_fused:
+        # pre-fused production maps are ALWAYS W-aligned now; deriving W
+        # from the stored shape would silently over-scale every sample
+        # coordinate (e.g. 140 instead of 128 for the BEV maps)
+        raise ValueError(
+            "pre_fused maps are stored W-aligned; pass true_hw (the map's "
+            "real spatial dims) — shape-derived dims would be wrong")
     if pallas_forward and fused.shape[2] < aligned_width(W):
         # pad here, OUTSIDE the custom-VJP (autodiff slices the cotangent
         # back); production maps arrive pre-aligned so this is a no-op there

@@ -13,7 +13,6 @@ the attention-weighted sum over points, per head.
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -32,16 +31,12 @@ def resolve_bev_pallas(pallas: bool | None = None) -> bool:
     (docs/experiments/ab_bev_pallas_xplane.py) measured the decode while-loop
     at 285.9 ms/step with the XLA gather vs 237.1 ms/step with the Pallas
     kernel once the flat-lerp layout fix landed (the BEV maps are small
-    enough to sit VMEM-resident per slab; the image sampler keeps XLA — its
-    level-0 map is ~600 MB per stream). CPU uses the XLA path (the kernel
-    only runs under the slow interpreter there).
+    enough to sit VMEM-resident per slab). Precedence lives in
+    `bilinear.resolve_pallas`.
     """
-    if pallas is not None:
-        return bool(pallas)
-    env = os.environ.get("RACFORMER_BEV_PALLAS")
-    if env is not None:
-        return env == "1"
-    return jax.default_backend() == "tpu"
+    from .bilinear import resolve_pallas
+
+    return resolve_pallas("RACFORMER_BEV_PALLAS", pallas)
 
 
 def deform_attn_single_level(
@@ -90,6 +85,11 @@ def deform_attn_single_level(
         # required for W-aligned stored maps (`pad_for_sampling(align=True)`)
         # whose shape over-claims W
         H, W = true_hw
+    elif pre_fused:
+        raise ValueError(
+            "pre_fused BEV values are stored W-aligned; pass true_hw "
+            "(= spatial_shape) — shape-derived dims would mis-scale "
+            "every sampling location")
     if loc_xy is not None:
         x_norm, y_norm = loc_xy
     else:

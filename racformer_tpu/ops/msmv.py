@@ -16,7 +16,6 @@ Autodiff (for features, locations and weights) comes for free.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Sequence
 
 import jax
@@ -36,13 +35,11 @@ def resolve_img_pallas(pallas: bool | None = None) -> bool:
     (level 0: 6 cams x 67 rows x 184 x 128 bf16 ~= 19 MB), and the balanced
     chunk layout keeps padded points under 4%; round 2's "image sampler
     keeps XLA" conclusion predated the flat-lerp fix that removed the XLA
-    path's relayout advantage. CPU uses the XLA path."""
-    if pallas is not None:
-        return bool(pallas)
-    env = os.environ.get("RACFORMER_IMG_PALLAS")
-    if env is not None:
-        return env == "1"
-    return jax.default_backend() == "tpu"
+    path's relayout advantage. Precedence lives in
+    `bilinear.resolve_pallas`."""
+    from .bilinear import resolve_pallas
+
+    return resolve_pallas("RACFORMER_IMG_PALLAS", pallas)
 
 
 def msmv_sample(
@@ -100,8 +97,10 @@ def msmv_sample_xyv(
             # mandatory with W-aligned stored maps (shape over-claims W)
             H, W = true_hw
         elif pre_fused:
-            H = feat_l.shape[2] + 1 - 2 * PAD
-            W = feat_l.shape[3] - 2 * PAD
+            raise ValueError(
+                "pre_fused pyramids are stored W-aligned; pass true_hws "
+                "(per-level real dims) — shape-derived dims would "
+                "mis-scale every sampling location")
         else:
             off = 2 * PAD if pre_padded else 0
             H, W = feat_l.shape[2] - off, feat_l.shape[3] - off

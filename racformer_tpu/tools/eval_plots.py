@@ -11,9 +11,8 @@ Conventions: one axis per panel, fixed categorical color order (Okabe-Ito,
 colorblind-safe), a legend on every multi-series panel, recessive grid.
 
 CLI:
-  python -m racformer_tpu.tools.eval_plots preds.pkl gts.pkl outdir/
-where preds/gts are pickled lists in the `nuscenes_metrics` schema (val.py
---dump-eval writes them).
+  python -m racformer_tpu.tools.eval_plots dump.pkl outdir/
+where dump.pkl is the `(preds, gts)` pickle `val.py --dump-eval` writes.
 """
 
 from __future__ import annotations
@@ -225,15 +224,12 @@ def main():
     from ..eval.metrics import nuscenes_metrics
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("preds")
-    ap.add_argument("gts")
+    ap.add_argument("dump", help="val.py --dump-eval pickle of (preds, gts)")
     ap.add_argument("outdir")
     ap.add_argument("--front-only", action="store_true")
     args = ap.parse_args()
-    with open(args.preds, "rb") as f:
-        preds = pickle.load(f)
-    with open(args.gts, "rb") as f:
-        gts = pickle.load(f)
+    with open(args.dump, "rb") as f:
+        preds, gts = pickle.load(f)
     m = nuscenes_metrics(preds, gts, front_only=args.front_only,
                          return_curves=True)
     render_all(m, args.outdir)

@@ -175,6 +175,7 @@ def main():
 
         ev = StreamingEvaluator(model, variables, eval_cfg=ecfg)
         prev_scene = None
+        use_radar_cols = None
         scene_t0 = 0.0
         for i in range(num):
             s = dataset[i]
@@ -197,11 +198,16 @@ def main():
                 # put on device
                 imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)
             rd, rr = s["radar_depth"][0], s["radar_rcs"][0]
-            if np.all(rd == rd[:, :1, :]) and np.all(rr == rr[:, :1, :]):
-                # column form: the radar rasterizer writes whole columns
-                # (depth_maps.radar_to_depth_rcs_maps), so row 0 carries the
-                # whole map — ~250x smaller upload. Synthetic fixtures are
-                # not column-constant and keep the dense form.
+            if use_radar_cols is None:
+                # column-constancy is a static property of the rasterizer
+                # (depth_maps.radar_to_depth_rcs_maps writes whole columns);
+                # decide once on the first frame instead of scanning every
+                # dense map. Synthetic fixtures are not column-constant and
+                # keep the dense form.
+                use_radar_cols = bool(
+                    np.all(rd == rd[:, :1, :]) and np.all(rr == rr[:, :1, :]))
+            if use_radar_cols:
+                # row 0 carries the whole map — ~250x smaller upload
                 rd, rr = rd[:, 0, :], rr[:, 0, :]
             frame = dict(
                 imgs=imgs, radar_points=s["radar_points"][0],
