@@ -4,10 +4,12 @@ Round-1 baseline: 8.8 s/step, of which ~6.7 s was XLA's scatter-add backward
 of the sampling gathers. This script measures the full jitted train step
 (forward + backward + AdamW) with the slope protocol.
 
-Usage: python train_step_bench.py [steps] [batch]
+Usage: python train_step_bench.py [steps] [batch] [accum]
 
 Round-3 addendum: pass batch=2 to measure the reference recipe's 2
-samples/device (`configs/racformer_r50_nuimg_704x256_f8.py:295-308`).
+samples/device (`configs/racformer_r50_nuimg_704x256_f8.py:295-308`);
+pass accum=2 to run it as 2 x B=1 gradient-accumulation microbatches
+(the fused B=2 pass OOMs on a 16 GB v5e — BASELINE.md round-3 table).
 """
 import sys
 import time
@@ -47,7 +49,9 @@ params = variables["params"]
 tx, _ = make_optimizer(params, total_steps=1000)
 state = TrainState(params, variables.get("batch_stats", {}), tx.init(params),
                    jnp.zeros((), jnp.int32))
-train_step = make_train_step(model, tx, depth_cfg=dict(num_bins=96, downsample=16))
+accum = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+train_step = make_train_step(model, tx, depth_cfg=dict(num_bins=96, downsample=16),
+                             accum_steps=accum)
 jitted = jax.jit(lambda s, b, r: train_step(s, b, r, 2.0))
 
 rng = jax.random.PRNGKey(7)

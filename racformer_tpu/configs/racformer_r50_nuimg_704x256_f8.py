@@ -80,6 +80,9 @@ optimizer = dict(
 
 total_epochs = 36
 batch_size_per_chip = 2
+# The fused B=2 step OOMs on a 16 GB v5e (BASELINE.md round-3 table); run the
+# reference's 2 samples/device as 2 x B=1 gradient-accumulation microbatches.
+accumulate_steps = 2
 num_chips = 8
 
 eval_cfg = dict(

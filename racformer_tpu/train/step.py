@@ -28,8 +28,19 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_train_step(model: RaCFormer, tx, depth_cfg=None):
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `accum_steps > 1` splits the per-chip batch into that many microbatches
+    and accumulates gradients through a `lax.scan`, trading wall time for
+    activation memory: the reference recipe's 2 samples/device
+    (`configs/racformer_r50_nuimg_704x256_f8.py:295-308`) OOMs on a 16 GB
+    v5e in one pass, but fits as 2 x B=1 microbatches. Semantics note: each
+    microbatch normalizes its set losses by its own positive count (the
+    same per-worker normalization DDP has before its `reduce_mean`), and BN
+    batch stats update per microbatch — both standard accumulation
+    deviations, documented here rather than hidden.
+    """
     depth_cfg = depth_cfg or {}
 
     def loss_fn(params, batch_stats, batch, rng, depth_weight):
@@ -70,10 +81,48 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None):
             losses["loss_total"] = losses["loss_total"] + ld
         return losses["loss_total"], (losses, mutated["batch_stats"])
 
+    def grads_and_losses(params, batch_stats, batch, rng, depth_weight):
+        if accum_steps == 1:
+            (_, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch, rng, depth_weight)
+            return grads, losses, new_stats
+
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                *x.shape[1:]),
+            batch,
+        )
+        rngs = jax.random.split(rng, accum_steps)
+
+        def body(carry, xs):
+            stats, gsum, lsum = carry
+            mb, r = xs
+            (_, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, stats, mb, r, depth_weight)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            lsum = {k: lsum[k] + losses[k] for k in lsum}
+            return (new_stats, gsum, lsum), None
+
+        # trace once on microbatch 0 to learn the loss-dict structure
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        l0 = jax.eval_shape(
+            lambda p, s, b, r, w: loss_fn(p, s, b, r, w)[1][0],
+            params, batch_stats,
+            jax.tree_util.tree_map(lambda x: x[0], micro), rngs[0],
+            depth_weight)
+        zeros_l = {k: jnp.zeros(()) for k in l0}
+        (new_stats, gsum, lsum), _ = jax.lax.scan(
+            body, (batch_stats, zeros_g, zeros_l), (micro, rngs))
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+        losses = {k: v * inv for k, v in lsum.items()}
+        return grads, losses, new_stats
+
     def train_step(state: TrainState, batch: Dict, rng, depth_weight=2.0) -> tuple:
-        (_, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rng, depth_weight)
+        grads, losses, new_stats = grads_and_losses(
+            state.params, state.batch_stats, batch, rng, depth_weight)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates

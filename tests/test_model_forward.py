@@ -27,7 +27,8 @@ def tiny_batch(rng, B=1, T=2, N=2, H=64, W=128, P=64, max_gt=4):
     gts = dict(
         gt_bboxes=np.abs(rng.normal(size=(B, max_gt, 9))).astype(np.float32) + 0.5,
         gt_labels=rng.integers(0, 10, size=(B, max_gt)),
-        gt_mask=np.arange(max_gt)[None, :] < 2,
+        gt_mask=np.broadcast_to(np.arange(max_gt)[None, :] < 2,
+                                (B, max_gt)).copy(),
     )
     return batch, gts
 

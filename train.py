@@ -181,7 +181,10 @@ def main():
             start_step, state = restored
             print(f"resumed from step {start_step}")
 
-    train_step = make_train_step(model, tx, depth_cfg=dict(cfg.get("depth", {})))
+    train_step = make_train_step(
+        model, tx, depth_cfg=dict(cfg.get("depth", {})),
+        accum_steps=int(cfg.get("accumulate_steps", 1)),
+    )
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     jitted = jax.jit(
