@@ -88,6 +88,11 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
             )(params, batch_stats, batch, rng, depth_weight)
             return grads, losses, new_stats
 
+        B = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if B % accum_steps:
+            raise ValueError(
+                f"per-chip batch {B} is not divisible by accum_steps="
+                f"{accum_steps}")
         micro = jax.tree_util.tree_map(
             lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
                                 *x.shape[1:]),
