@@ -39,7 +39,11 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
     microbatch normalizes its set losses by its own positive count (the
     same per-worker normalization DDP has before its `reduce_mean`), and BN
     batch stats update per microbatch — both standard accumulation
-    deviations, documented here rather than hidden.
+    deviations, documented here rather than hidden. Under GSPMD the split
+    is interleaved (sample i -> microbatch i % accum_steps) so it stays
+    sharding-local when the PER-CHIP batch is a multiple of accum_steps
+    (measured: the contiguous split all-gathers the full batch to every
+    chip — docs/experiments/accum_split_sharding.py).
     """
     depth_cfg = depth_cfg or {}
 
@@ -93,9 +97,18 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
             raise ValueError(
                 f"per-chip batch {B} is not divisible by accum_steps="
                 f"{accum_steps}")
+        # Interleaved split (sample i -> microbatch i % accum_steps), NOT
+        # contiguous halves: under GSPMD the global batch axis is
+        # block-sharded over the data mesh, and a contiguous
+        # [accum, B/accum] split puts microbatch 0 entirely on the first
+        # half of the chips — XLA then reshards the whole batch (all-to-all
+        # of the images) every step. Interleaving keeps every chip's own
+        # rows in every microbatch, so the reshape is sharding-local
+        # whenever the per-chip batch is a multiple of accum_steps.
         micro = jax.tree_util.tree_map(
-            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
-                                *x.shape[1:]),
+            lambda x: jnp.moveaxis(
+                x.reshape(x.shape[0] // accum_steps, accum_steps,
+                          *x.shape[1:]), 1, 0),
             batch,
         )
         rngs = jax.random.split(rng, accum_steps)
