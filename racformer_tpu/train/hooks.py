@@ -1,4 +1,4 @@
-"""Training hooks: depth-loss curriculum and EMA.
+"""Training hooks: depth-loss curriculum, EMA, and match-statistics dump.
 
 `DepthWeightCurriculum` matches `SequentialControlHook`
 (`/root/reference/models/hook/sequentialsontrol.py:8-28` +
@@ -8,12 +8,24 @@ drops from 2.0 to 1.0.
 `ema_update` matches `MEGVIIEMAHook` / `ModelEMA`
 (`/root/reference/models/hook/ema.py`): decay 0.999 with a warm-up ramp
 `decay * (1 - exp(-step / 2000))`.
+
+`MatchStatsHook` is the working equivalent of the reference's `ISSaveHook`
+(`/root/reference/models/hook/is_save.py:62-90`): per decoder layer, dump the
+epoch's Hungarian match statistics to
+`<path>/dec_{i}/rank_{r}/match_epoch{e}.json` and reset. (The reference hook
+is dead code — it reads a `pts_bbox_head.match_dict` attribute the head never
+sets, so calling it crashes; here the assignment comes out of the jitted step
+as `_matched_q`/`_match_cost` metrics, see `losses.detection_loss`.)
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class DepthWeightCurriculum:
@@ -31,3 +43,52 @@ def ema_update(ema_params, params, step, decay: float = 0.999):
     return jax.tree_util.tree_map(
         lambda e, p: e * d + p * (1.0 - d), ema_params, params
     )
+
+
+class MatchStatsHook:
+    """Accumulate per-layer Hungarian match diagnostics; dump per epoch.
+
+    Feed it the HOST copies of each step's metrics (after `jax.device_get`)
+    plus the step's ground-truth labels/mask; call `after_epoch(e)` at every
+    epoch boundary. Output layout mirrors the reference's intent:
+    `dec_{layer}/rank_{rank}/match_epoch{e}.json`, one JSON object per epoch
+    mapping step -> {"matched_q", "cost", "label"} lists (invalid/padded GT
+    slots dropped), reset after each dump like `ISSaveHook.save_is_dict`.
+    """
+
+    def __init__(self, path: str, rank: int = 0):
+        self.path = path
+        self.rank = rank
+        self._steps = {}  # step -> (matched_q [L,B,G], cost [L,B,G], labels [B,G], mask [B,G])
+
+    def record(self, step: int, metrics, gt_labels, gt_mask):
+        if "_matched_q" not in metrics:
+            return
+        self._steps[int(step)] = (
+            np.asarray(metrics["_matched_q"]),
+            np.asarray(metrics["_match_cost"]),
+            np.asarray(gt_labels),
+            np.asarray(gt_mask).astype(bool),
+        )
+
+    def after_epoch(self, epoch: int):
+        if not self._steps:
+            return
+        num_layers = next(iter(self._steps.values()))[0].shape[0]
+        for layer in range(num_layers):
+            out = {}
+            for step, (mq, cost, labels, mask) in sorted(self._steps.items()):
+                per_sample = []
+                for b in range(mq.shape[1]):
+                    m = mask[b]
+                    per_sample.append({
+                        "matched_q": mq[layer, b][m].tolist(),
+                        "cost": [round(float(c), 4) for c in cost[layer, b][m]],
+                        "label": labels[b][m].tolist(),
+                    })
+                out[str(step)] = per_sample
+            d = os.path.join(self.path, f"dec_{layer}", f"rank_{self.rank}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"match_epoch{epoch}.json"), "w") as f:
+                json.dump(out, f)
+        self._steps.clear()

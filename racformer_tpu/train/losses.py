@@ -79,11 +79,20 @@ def _layer_loss(cls_scores, bbox_preds, labels, bbox_targets, bbox_weights,
 
 
 def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
-                   num_classes=10) -> Dict[str, jax.Array]:
+                   num_classes=10, with_match=False) -> Dict[str, jax.Array]:
     """Full head loss over all decoder layers (+ DN losses when present).
 
     gt_bboxes: [B, G, 9] raw (gravity-center) boxes; gt_labels: [B, G];
     gt_mask: [B, G] validity.
+
+    with_match=True additionally returns the per-layer Hungarian assignment
+    under underscore-prefixed keys (`_matched_q` [L, B, G] int32 query index
+    per GT, `_match_cost` [L, B, G] the matched pair's cost) — the working
+    equivalent of the data the reference's dead `ISSaveHook` was meant to
+    dump (`/root/reference/models/hook/is_save.py:75-90` reads a
+    `pts_bbox_head.match_dict` the head never populates). Consumers:
+    `train/hooks.py:MatchStatsHook`. Underscore keys are diagnostics, not
+    losses — `make_train_step` routes them around the loss arithmetic.
     """
     cls_scores = outs["all_cls_scores"]  # [L, B, Q, C]
     bbox_preds = outs["all_bbox_preds"]  # [L, B, Q, 10]
@@ -102,6 +111,13 @@ def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
     )(cls_scores, bbox_preds, gt_bboxes, safe_labels, gt_mask)  # [L, B, Q, G]
 
     matched_q = hungarian_assign(cost)  # [L, B, G]
+
+    match_aux = {}
+    if with_match:
+        match_aux["_matched_q"] = matched_q.astype(jnp.int32)
+        match_aux["_match_cost"] = jnp.take_along_axis(
+            cost, matched_q[:, :, None, :], axis=2
+        )[:, :, 0, :].astype(jnp.float32)
 
     gt_norm = jax.vmap(normalize_bbox)(gt_bboxes)  # [B, G, 10]
 
@@ -161,4 +177,5 @@ def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
             total = total + losses[f"{key}_cls_dn"] + losses[f"{key}_bbox_dn"]
 
     losses["loss_total"] = total
+    losses.update(match_aux)
     return losses

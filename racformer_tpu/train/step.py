@@ -28,8 +28,14 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
+def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
+                    match_stats: bool = False):
     """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `match_stats=True` adds the decoder's per-layer Hungarian assignment to
+    the metrics under `_matched_q` / `_match_cost` (see
+    `losses.detection_loss`) for `MatchStatsHook`; underscore keys are
+    per-sample arrays, not scalars, and bypass the loss averaging.
 
     `accum_steps > 1` splits the per-chip batch into that many microbatches
     and accumulates gradients through a `lax.scan`, trading wall time for
@@ -72,7 +78,7 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
         )
         losses = detection_loss(
             outs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
-            num_classes=model.num_classes,
+            num_classes=model.num_classes, with_match=match_stats,
         )
         # depth supervision on frame 0 (`models/racformer.py:377-378`);
         # depth_weight is a traced scalar so the curriculum hook
@@ -119,9 +125,12 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
             (_, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, stats, mb, r, depth_weight)
+            # underscore keys are per-sample diagnostics (e.g. _matched_q
+            # [L, Bm, G]) — stacked across microbatches via ys, not summed
+            aux = {k: v for k, v in losses.items() if k.startswith("_")}
             gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
             lsum = {k: lsum[k] + losses[k] for k in lsum}
-            return (new_stats, gsum, lsum), None
+            return (new_stats, gsum, lsum), aux
 
         # trace once on microbatch 0 to learn the loss-dict structure
         zeros_g = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -130,12 +139,17 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1):
             params, batch_stats,
             jax.tree_util.tree_map(lambda x: x[0], micro), rngs[0],
             depth_weight)
-        zeros_l = {k: jnp.zeros(()) for k in l0}
-        (new_stats, gsum, lsum), _ = jax.lax.scan(
+        zeros_l = {k: jnp.zeros(()) for k in l0 if not k.startswith("_")}
+        (new_stats, gsum, lsum), aux = jax.lax.scan(
             body, (batch_stats, zeros_g, zeros_l), (micro, rngs))
         inv = 1.0 / accum_steps
         grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
         losses = {k: v * inv for k, v in lsum.items()}
+        # undo the interleave: aux leaf [a, L, Bm, ...] -> [L, B, ...] with
+        # sample order restored (microbatch mb, row p was sample p*a + mb)
+        for k, v in aux.items():
+            losses[k] = jnp.moveaxis(v, 0, 2).reshape(
+                v.shape[1], v.shape[2] * accum_steps, *v.shape[3:])
         return grads, losses, new_stats
 
     def train_step(state: TrainState, batch: Dict, rng, depth_weight=2.0) -> tuple:

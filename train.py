@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ema", action="store_true",
                    help="track EMA weights (MEGVIIEMAHook equivalent)")
+    p.add_argument("--match-stats", action="store_true",
+                   help="dump per-decoder-layer Hungarian match statistics "
+                        "each epoch (working ISSaveHook equivalent)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host pod slice: initialize jax.distributed "
                         "(run the same command on every host)")
@@ -181,9 +184,30 @@ def main():
             start_step, state = restored
             print(f"resumed from step {start_step}")
 
+    match_hook = None
+    if args.match_stats or cfg.get("match_stats"):
+        from racformer_tpu.train.hooks import MatchStatsHook
+
+        match_hook = MatchStatsHook(
+            os.path.join(work_dir, "match_stats"), rank=jax.process_index()
+        )
+
+    # accumulation is a per-chip memory measure: clamp it to a divisor of the
+    # per-chip batch (e.g. the flagship config's accumulate_steps=2 is moot —
+    # and indivisible — when run at batch_size_per_chip=1)
+    accum = int(cfg.get("accumulate_steps", 1))
+    if batch_per_chip % accum:
+        import math
+
+        eff = math.gcd(accum, batch_per_chip)
+        print(f"accumulate_steps={accum} does not divide "
+              f"batch_size_per_chip={batch_per_chip}; using {eff}")
+        accum = eff
+
     train_step = make_train_step(
         model, tx, depth_cfg=dict(cfg.get("depth", {})),
-        accum_steps=int(cfg.get("accumulate_steps", 1)),
+        accum_steps=accum,
+        match_stats=match_hook is not None,
     )
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
@@ -246,7 +270,18 @@ def main():
         num_workers=int(cfg.get("data_workers", 4)), prefetch=2, put=put_batch,
     )
     log_every = int(cfg.get("log_interval", 10))
-    pending = []  # (step, lazy device metrics) fetched every log_every steps
+    pending = []  # (step, lazy device metrics, lazy gt refs) fetched in blocks
+
+    def flush_pending():
+        for s, m, gt in pending:
+            m = jax.device_get(m)
+            logger.log_step(
+                s, {k: v for k, v in m.items() if not k.startswith("_")},
+                lr=float(sched(s)),
+            )
+            if match_hook is not None:
+                match_hook.record(s, m, *jax.device_get(gt))
+        pending.clear()
 
     try:
         for step in range(start_step, total_steps):
@@ -261,13 +296,16 @@ def main():
                 ema_params = ema_step(ema_params, state.params, jnp.float32(step))
             # no per-step host sync: metrics stay on device and are fetched in
             # a block every `log_every` steps (the device runs ahead)
-            pending.append((step, metrics))
+            pending.append(
+                (step, metrics, (batch["gt_labels"], batch["gt_mask"]))
+            )
             if len(pending) >= log_every or step == total_steps - 1:
-                for s, m in pending:
-                    logger.log_step(s, jax.device_get(m), lr=float(sched(s)))
-                pending.clear()
+                flush_pending()
 
             if (step + 1) % steps_per_epoch == 0 or step == total_steps - 1:
+                flush_pending()
+                if match_hook is not None:
+                    match_hook.after_epoch(epoch)
                 ckpt.save(step + 1, jax.device_get(state))
                 if ema_params is not None:
                     import pickle as _pkl
