@@ -33,7 +33,8 @@ def tiny_batch(rng, B=1, T=2, N=2, H=64, W=128, P=64, max_gt=4):
     return batch, gts
 
 
-def make_model(train, max_gt=4):
+def make_model(train, max_gt=4, **over):
+    over.setdefault("trunk_dtype", jnp.float32)
     return RaCFormer(
         num_cams=2,
         num_frames=2,
@@ -45,7 +46,7 @@ def make_model(train, max_gt=4):
         bev_size=(32, 32),
         max_gt=max_gt,
         train_mode=train,
-        trunk_dtype=jnp.float32,
+        **over,
     )
 
 
