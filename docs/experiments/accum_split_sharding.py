@@ -10,7 +10,7 @@ into accumulation microbatches can be done two ways:
 The contiguous split puts microbatch 0 entirely on the first half of the
 chips, so XLA must materialize the other half's rows everywhere. The
 interleaved split sends each chip's own rows to every microbatch, which is
-a sharding-local reshape whenever the per-chip batch divides accum_steps.
+a sharding-local reshape whenever accum_steps divides the per-chip batch.
 
 Measured on an 8-device CPU mesh (B=16, ACC=2, toy matmul loss), counting
 collectives in the optimized HLO:

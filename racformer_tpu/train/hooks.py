@@ -56,17 +56,22 @@ class MatchStatsHook:
     slots dropped), reset after each dump like `ISSaveHook.save_is_dict`.
     """
 
-    def __init__(self, path: str, rank: int = 0):
+    def __init__(self, path: str, rank: int = 0, sample_every: int = 1):
         self.path = path
         self.rank = rank
+        # memory bound: each recorded step keeps ~L*B*G*(4+4)+B*G*5 bytes of
+        # compact numpy (roughly 50 KB at flagship scale), so a full 1,758-step
+        # epoch is ~90 MB of host RSS; raise sample_every to subsample long
+        # epochs
+        self.sample_every = max(1, int(sample_every))
         self._steps = {}  # step -> (matched_q [L,B,G], cost [L,B,G], labels [B,G], mask [B,G])
 
     def record(self, step: int, metrics, gt_labels, gt_mask):
-        if "_matched_q" not in metrics:
+        if "_matched_q" not in metrics or int(step) % self.sample_every:
             return
         self._steps[int(step)] = (
-            np.asarray(metrics["_matched_q"]),
-            np.asarray(metrics["_match_cost"]),
+            np.asarray(metrics["_matched_q"], dtype=np.int32),
+            np.asarray(metrics["_match_cost"], dtype=np.float32),
             np.asarray(gt_labels),
             np.asarray(gt_mask).astype(bool),
         )

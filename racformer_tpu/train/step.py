@@ -98,11 +98,16 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
             )(params, batch_stats, batch, rng, depth_weight)
             return grads, losses, new_stats
 
+        # NOTE: inside jit B is the GLOBAL batch, so this guard is only a
+        # necessary condition — callers must ensure the PER-CHIP batch is a
+        # multiple of accum_steps too (train.py clamps to gcd(accum,
+        # batch_size_per_chip)), or the interleaved split below degenerates
+        # to the cross-chip reshard it exists to avoid.
         B = jax.tree_util.tree_leaves(batch)[0].shape[0]
         if B % accum_steps:
             raise ValueError(
-                f"per-chip batch {B} is not divisible by accum_steps="
-                f"{accum_steps}")
+                f"batch {B} (global when jitted over a mesh) is not "
+                f"divisible by accum_steps={accum_steps}")
         # Interleaved split (sample i -> microbatch i % accum_steps), NOT
         # contiguous halves: under GSPMD the global batch axis is
         # block-sharded over the data mesh, and a contiguous

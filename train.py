@@ -196,6 +196,8 @@ def main():
     # per-chip batch (e.g. the flagship config's accumulate_steps=2 is moot —
     # and indivisible — when run at batch_size_per_chip=1)
     accum = int(cfg.get("accumulate_steps", 1))
+    if accum < 1:
+        raise ValueError(f"accumulate_steps must be >= 1, got {accum}")
     if batch_per_chip % accum:
         import math
 
@@ -272,6 +274,20 @@ def main():
     log_every = int(cfg.get("log_interval", 10))
     pending = []  # (step, lazy device metrics, lazy gt refs) fetched in blocks
 
+    def _local_rows(x):
+        """Host copy of THIS process's rows of a batch-sharded array.
+
+        `jax.device_get` on a multi-host P('data') array raises (it spans
+        non-addressable devices); the hook dumps per-rank slices anyway,
+        mirroring the reference's per-rank match files."""
+        shards = sorted(
+            x.addressable_shards,
+            key=lambda s: s.index[0].start if s.index[0].start else 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    row_lo = jax.process_index() * local_batch
+
     def flush_pending():
         for s, m, gt in pending:
             m = jax.device_get(m)
@@ -279,8 +295,13 @@ def main():
                 s, {k: v for k, v in m.items() if not k.startswith("_")},
                 lr=float(sched(s)),
             )
-            if match_hook is not None:
-                match_hook.record(s, m, *jax.device_get(gt))
+            if match_hook is not None and gt is not None:
+                # replicated [L, B, G] match metrics: keep this rank's rows
+                mloc = {
+                    k: np.asarray(v)[:, row_lo:row_lo + local_batch]
+                    for k, v in m.items() if k.startswith("_")
+                }
+                match_hook.record(s, mloc, *[_local_rows(g) for g in gt])
         pending.clear()
 
     try:
@@ -296,9 +317,11 @@ def main():
                 ema_params = ema_step(ema_params, state.params, jnp.float32(step))
             # no per-step host sync: metrics stay on device and are fetched in
             # a block every `log_every` steps (the device runs ahead)
-            pending.append(
-                (step, metrics, (batch["gt_labels"], batch["gt_mask"]))
-            )
+            pending.append((
+                step, metrics,
+                (batch["gt_labels"], batch["gt_mask"])
+                if match_hook is not None else None,
+            ))
             if len(pending) >= log_every or step == total_steps - 1:
                 flush_pending()
 
@@ -314,6 +337,13 @@ def main():
                         _pkl.dump(jax.device_get(ema_params), f)
     finally:
         loader.close()
+        if match_hook is not None:
+            # spill any partial-epoch match stats on exit/crash rather than
+            # dropping them (keyed by the last reached epoch)
+            try:
+                match_hook.after_epoch(step // steps_per_epoch)
+            except NameError:
+                pass
 
     print("training done")
 
