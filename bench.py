@@ -50,6 +50,25 @@ A100_REFERENCE_FPS = 4.5  # assumed, see module docstring
 
 
 def main():
+    # The axon tunnel occasionally goes unresponsive, which makes the very
+    # first backend touch (jax.devices()) hang indefinitely; fail loudly
+    # instead so the caller records an error rather than stalling.
+    import threading
+    import os as _os
+
+    watchdog = threading.Timer(300.0, lambda: (
+        print(json.dumps({"metric": "streaming_eval_fps_per_chip",
+                          "value": 0.0, "unit": "ERROR",
+                          "vs_baseline": 0.0,
+                          "error": "backend init (jax.devices) hung >300s — "
+                                   "TPU tunnel unresponsive"}), flush=True),
+        _os._exit(3)))
+    watchdog.daemon = True
+    watchdog.start()
+    n_dev = len(jax.devices())
+    watchdog.cancel()
+    assert n_dev >= 1
+
     from __graft_entry__ import _example_batch, _flagship_model
     from racformer_tpu.eval.streaming import StreamingEvaluator
     from racformer_tpu.model import preprocess_images
