@@ -13,11 +13,15 @@ Protocol: slope method (wall time of N vs 2N chained steps, scalar fetch at
 the end), same process for both arms. Run with the tunnel idle; one TPU
 process at a time.
 
-Usage: python docs/experiments/head_dtype_ab.py [streaming|train|both]
+Usage: python docs/experiments/head_dtype_ab.py [streaming|train|both] [tiny]
+(`tiny` runs toy shapes on CPU — an API smoke test, not a measurement)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 
@@ -43,10 +47,13 @@ def slope(fn, state0, n=6):
     return (t_2n - t_n) / n
 
 
+TINY = False
+
+
 def flagship(head_dtype, train):
     import __graft_entry__ as g
 
-    return g._flagship_model(train=train, head_dtype=head_dtype)
+    return g._flagship_model(train=train, tiny=TINY, head_dtype=head_dtype)
 
 
 def bench_train(head_dtype):
@@ -136,6 +143,9 @@ def bench_streaming(head_dtype):
 
 if __name__ == "__main__":
     arm = sys.argv[1] if len(sys.argv) > 1 else "train"
+    if "tiny" in sys.argv[2:]:
+        TINY = True
+        jax.config.update("jax_platforms", "cpu")
     if arm in ("train", "both"):
         r32 = bench_train(jnp.float32)
         r16 = bench_train(jnp.bfloat16)
