@@ -39,3 +39,20 @@ def host_batch_indices(
     n = len(order)
     return [int(order[(step * global_batch + off + i) % n])
             for i in range(local)]
+
+
+def host_local_rows(x) -> np.ndarray:
+    """Host copy of THIS process's rows of a batch-sharded `jax.Array`.
+
+    On a multi-host pod, `jax.device_get` on a P('data')-sharded global array
+    raises (it spans non-addressable devices); the addressable shards are
+    exactly this process's contribution from `host_batch_indices` /
+    `make_array_from_process_local_data`, i.e. global rows
+    [proc_idx*local, (proc_idx+1)*local). Shards are concatenated in global
+    row order. Used by train.py's match-stats flush for per-rank dumps.
+    """
+    shards = sorted(
+        x.addressable_shards,
+        key=lambda s: s.index[0].start if s.index[0].start else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -64,6 +64,21 @@ _WORKER = textwrap.dedent("""
     mean = jax.jit(jnp.mean, out_shardings=NamedSharding(mesh, P()))(g)
     # step 1, gb 2 -> global rows order[2:4] = [2, 3]; mean 2.5
     print("MEAN", pid, float(mean), flush=True)
+
+    # match-stats flush mechanic: device_get on the sharded global array
+    # raises on multi-host, host_local_rows returns exactly this process's
+    # rows (train.py's per-rank match dumps rely on both)
+    from racformer_tpu.train.hostdata import host_local_rows
+    try:
+        jax.device_get(g)
+        fetched_global = True
+    except RuntimeError:
+        fetched_global = False
+    loc = host_local_rows(g)
+    assert loc.shape == (1, 4)
+    assert np.allclose(loc, local), (pid, loc, local)
+    print("LOCALROWS", pid, int(loc[0, 0]), "global_fetch", fetched_global,
+          flush=True)
 """)
 
 
@@ -85,3 +100,5 @@ def test_two_process_distributed_put_batch(tmp_path):
         assert p.returncode == 0, out
     for i, out in enumerate(outs):
         assert f"MEAN {i} 2.5" in out, out
+        # step 1, gb 2: process i's local row is order[2 + i] = 2 + i
+        assert f"LOCALROWS {i} {2 + i}" in out, out

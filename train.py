@@ -274,17 +274,10 @@ def main():
     log_every = int(cfg.get("log_interval", 10))
     pending = []  # (step, lazy device metrics, lazy gt refs) fetched in blocks
 
-    def _local_rows(x):
-        """Host copy of THIS process's rows of a batch-sharded array.
-
-        `jax.device_get` on a multi-host P('data') array raises (it spans
-        non-addressable devices); the hook dumps per-rank slices anyway,
-        mirroring the reference's per-rank match files."""
-        shards = sorted(
-            x.addressable_shards,
-            key=lambda s: s.index[0].start if s.index[0].start else 0,
-        )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    # multi-host safety: the hook dumps per-rank slices (mirroring the
+    # reference's per-rank match files), and device_get on the sharded gt
+    # arrays would raise — see hostdata.host_local_rows
+    from racformer_tpu.train.hostdata import host_local_rows as _local_rows
 
     row_lo = jax.process_index() * local_batch
 
