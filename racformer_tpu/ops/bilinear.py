@@ -85,6 +85,32 @@ def resolve_pallas(env_name: str, pallas: bool | None = None) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def resolve_batch_local(batch_local: bool | None = None) -> bool:
+    """Whether blocked-view patch gathers keep the batch axis explicit
+    (`operand_batching_dims`) instead of folding it into the slab index.
+
+    Single chip, the folded flat form is the measured-fast one (batching
+    dims worsen XLA's gather layout choices — see deform_attn's note). Under
+    GSPMD data parallelism the flat form is a disaster: the gather's row
+    index mixes batch into dim 0, so XLA cannot prove batch-locality and
+    ALL-GATHERS every fused map to every chip inside the decoder loop, fwd
+    and bwd (measured on the 8-device CPU mesh: 14 all-gathers per accum
+    train step, incl. the full [B*T*N, H, W, 2C] image maps — see
+    tests/test_sharding_locality.py). The batched form compiles to zero
+    feature-map all-gathers
+    with identical numerics. Precedence: explicit config value >
+    `RACFORMER_BATCH_LOCAL` env override (same-process A/B harnesses) >
+    auto: ON whenever more than one device is visible."""
+    import os
+
+    if batch_local is not None:
+        return bool(batch_local)
+    env = os.environ.get("RACFORMER_BATCH_LOCAL")
+    if env is not None:
+        return env == "1"
+    return jax.device_count() > 1
+
+
 def aligned_width(W: int) -> int:
     """Stored width that lets the Pallas gather kernel fetch its 8-aligned
     16-wide window for ANY in-range point without a per-call pad: x0p <=
@@ -127,11 +153,18 @@ def fuse_rows(padded: jax.Array) -> jax.Array:
 
 
 def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
-                  x0p: jax.Array) -> jax.Array:
+                  x0p: jax.Array, batch_local: bool = False) -> jax.Array:
     """One (1, 1, 2, 2C) slice per point from the y-fused map.
 
     fused: [NS, R0, Wp, 2C]; index arrays share a batch shape.
     Returns [*batch, 2, 2C].
+
+    `batch_local=True` (requires the blocked-views contract: points with
+    leading index s reference only slabs [s*J, (s+1)*J)) reshapes the
+    operand to [S, J, R0, Wp, 2C] and gathers with operand batching dims so
+    GSPMD keeps a batch-sharded operand local instead of all-gathering it
+    (see :func:`resolve_batch_local`). Point order and numerics match the
+    flat form exactly (both are s-major).
 
     NOTE (measured, v5e): keep the (view, y, x) triple-index form with the
     narrow (1, 1, 2, 2C) slice. Both "cheaper-looking" reformulations hit
@@ -143,6 +176,26 @@ def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
     though the triple-index form pays a W-major twisted operand layout and
     a whole-output relayout copy."""
     C2 = fused.shape[-1]
+    NS, R0, Wp = fused.shape[:3]
+    S = view.shape[0] if view.ndim else 1
+    if batch_local and S > 1 and NS % S == 0:
+        J = NS // S
+        idx = jnp.stack(
+            [view.reshape(S, -1) % J, y0p.reshape(S, -1),
+             x0p.reshape(S, -1)], axis=-1)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4),
+            collapsed_slice_dims=(1,),
+            start_index_map=(1, 2, 3),
+            operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,),
+        )
+        patch = jax.lax.gather(
+            fused.reshape(S, J, R0, Wp, C2), idx, dnums,
+            slice_sizes=(1, 1, 1, 2, C2),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        return patch.reshape(-1, 2, C2)
     idx = jnp.stack(
         [view.reshape(-1), y0p.reshape(-1), x0p.reshape(-1)], axis=-1
     )
@@ -179,8 +232,8 @@ def _lerp_patch(patch: jax.Array, wx: jax.Array, wy: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
-@jax.custom_vjp
-def _patch_sample(fused, view, y0p, x0p, wx, wy):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _patch_sample(batch_local, fused, view, y0p, x0p, wx, wy):
     """Fused-map bilinear sample with a hand-written backward.
 
     Forward is the plain XLA patch gather + lerp: XLA's native gather reads
@@ -195,18 +248,20 @@ def _patch_sample(fused, view, y0p, x0p, wx, wy):
     reference's hand-written CUDA backward
     (`models/csrc/msmv_sampling/msmv_sampling_backward.cu:68-104`).
     """
-    out = _lerp_patch(_gather_patch(fused, view, y0p, x0p), wx, wy)
+    out = _lerp_patch(
+        _gather_patch(fused, view, y0p, x0p, batch_local), wx, wy)
     return out.reshape(*view.shape, out.shape[-1])
 
 
-def _patch_sample_fwd(fused, view, y0p, x0p, wx, wy):
-    out = _patch_sample(fused, view, y0p, x0p, wx, wy)
+def _patch_sample_fwd(batch_local, fused, view, y0p, x0p, wx, wy):
+    out = _patch_sample(batch_local, fused, view, y0p, x0p, wx, wy)
     return out, (fused, view, y0p, x0p, wx, wy)
 
 
-def _patch_sample_bwd(res, g):
+def _patch_sample_bwd(batch_local, res, g):
     from .scatter_kernel import (
         WIN, build_lerp_rows, chunk_layout, pad_chunks, scatter_patch_grads,
+        scatter_patch_grads_sharded,
     )
 
     fused, view, y0p, x0p, wx, wy = res
@@ -236,15 +291,21 @@ def _patch_sample_bwd(res, g):
     ).transpose(0, 2, 1).reshape(S, nch, chunk, C2).astype(jnp.bfloat16)
 
     interpret = jax.default_backend() == "cpu"
-    gmap = scatter_patch_grads(rowxb, amat.astype(jnp.bfloat16), gf,
-                               J * R0, wpad, chunk, interpret)
+    # batch_local: the GSPMD-partitioned wrapper keeps the scatter (and its
+    # large per-point operands) slab-local on a data mesh; single chip, the
+    # plain call avoids the custom-partitioning indirection
+    scatter = (scatter_patch_grads_sharded if batch_local
+               else scatter_patch_grads)
+    gmap = scatter(rowxb, amat.astype(jnp.bfloat16), gf,
+                   J * R0, wpad, chunk, interpret)
     d_fused = gmap.reshape(S, J, R0, wpad, C2)[..., :Wp, :]
     d_fused = d_fused.reshape(NS, R0, Wp, C2).astype(fused.dtype)
 
     # location gradients need the window values again: re-gather (cheap
     # relative to the scatter; the reference backward reads the same corners,
     # `msmv_sampling_backward.cu:75-101`)
-    patch = _gather_patch(fused, view, y0p, x0p).astype(jnp.float32)
+    patch = _gather_patch(fused, view, y0p, x0p, batch_local).astype(
+        jnp.float32)
     v00, v10 = patch[:, 0, :C], patch[:, 0, C:]
     v01, v11 = patch[:, 1, :C], patch[:, 1, C:]
     wx32 = wx.astype(jnp.float32).reshape(-1, 1)
@@ -280,7 +341,9 @@ def _patch_sample_pallas_fwd(fused, view, y0p, x0p, wx, wy):
     return out, (fused, view, y0p, x0p, wx, wy)
 
 
-_patch_sample_pallas.defvjp(_patch_sample_pallas_fwd, _patch_sample_bwd)
+_patch_sample_pallas.defvjp(
+    _patch_sample_pallas_fwd,
+    lambda res, g: _patch_sample_bwd(False, res, g))
 
 
 def bilinear_sample_views_nhwc(
@@ -294,6 +357,7 @@ def bilinear_sample_views_nhwc(
     pallas_forward: bool = False,
     pre_fused: bool = False,
     true_hw: tuple | None = None,
+    batch_local: bool | None = None,
 ) -> jax.Array:
     """Sample `feat` [N, H, W, C] at (view, x, y); view is an int index.
 
@@ -361,6 +425,9 @@ def bilinear_sample_views_nhwc(
     y0p = (jnp.clip(y0, -PAD, H).astype(jnp.int32) + PAD)
 
     view = view.astype(jnp.int32)
+    # batch-explicit gathers need the blocked-views contract to localize the
+    # slab index; without it the flat fold is the only correct form
+    blocal = blocked_views and resolve_batch_local(batch_local)
     if custom_grad and blocked_views and 2 * C == 128:
         # custom VJP: identical forward, Pallas scatter backward (the train
         # step's dominant cost under plain autodiff). Requires 128-lane fused
@@ -371,9 +438,13 @@ def bilinear_sample_views_nhwc(
         # pallas_forward additionally swaps the XLA gather for the
         # VMEM-resident kernel — only for dense-point/small-map call sites
         # (see _patch_sample_pallas).
-        fn = _patch_sample_pallas if pallas_forward else _patch_sample
-        return fn(fused, jnp.broadcast_to(view, x.shape), y0p,
-                  x0p, wx[..., 0], wy[..., 0])
-    patch = _gather_patch(fused, jnp.broadcast_to(view, x.shape), y0p, x0p)
+        if pallas_forward:
+            return _patch_sample_pallas(
+                fused, jnp.broadcast_to(view, x.shape), y0p, x0p,
+                wx[..., 0], wy[..., 0])
+        return _patch_sample(blocal, fused, jnp.broadcast_to(view, x.shape),
+                             y0p, x0p, wx[..., 0], wy[..., 0])
+    patch = _gather_patch(fused, jnp.broadcast_to(view, x.shape), y0p, x0p,
+                          batch_local=blocal)
     out = _lerp_patch(patch, wx[..., 0], wy[..., 0])
     return out.reshape(*x.shape, out.shape[-1])

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scatter_kernel import WIN, pad_chunks
+from .scatter_kernel import WIN, pad_chunks, slab_partitioned
 
 GROUP = 128  # points per reduction row; scratch = [WIN, GROUP*128]; dynamic
              # lane starts must be 128-aligned on Mosaic, so GROUP >= 128
@@ -75,8 +75,7 @@ def _kernel(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
     jax.lax.fori_loop(0, ng, body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def gather_patch_rows(
+def _gather_pallas(
     packed: jax.Array,
     of: jax.Array,
     val: jax.Array,
@@ -124,6 +123,20 @@ def gather_patch_rows(
     )(packed, of, val)
 
 
+gather_patch_rows = functools.partial(
+    jax.jit, static_argnums=(3, 4))(_gather_pallas)
+
+# GSPMD-partitioned form for multichip meshes: a bare pallas_call would be
+# replicated (every chip all-gathers the fused maps and gathers ALL points);
+# this shards operands/result over the slab axis (see
+# scatter_kernel.slab_partitioned)
+gather_patch_rows_sharded = slab_partitioned(
+    _gather_pallas, static_argnums=(3, 4),
+    sharding_rule="s n g p, s n g p, s r w l -> s n c l",
+    need_replication_factors=("n", "g", "p", "r", "w", "l", "c"),
+)
+
+
 def patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
     """Drop-in forward for `ops.bilinear._patch_sample`: same (fused, view,
     y0p, x0p) contract as the XLA `_gather_patch` + `_lerp_patch` pair, with
@@ -155,8 +168,12 @@ def patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
     packed = prep((row << 16) | xb)
     of = prep(o + wx.reshape(S, K).astype(jnp.float32))
 
+    from .bilinear import resolve_batch_local
+
     interpret = jax.default_backend() == "cpu"
-    res = gather_patch_rows(packed, of, val, chunk, interpret)
+    gather = (gather_patch_rows_sharded if resolve_batch_local(None)
+              else gather_patch_rows)
+    res = gather(packed, of, val, chunk, interpret)
     res = res.reshape(S, nch * chunk, C2)[:, :K]
     res = res.reshape(*view.shape, C2)
 

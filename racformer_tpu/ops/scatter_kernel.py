@@ -61,8 +61,7 @@ def _kernel(rowxb_ref, a_ref, g_ref, out_ref):
     jax.lax.fori_loop(0, chunk // GROUP, body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def scatter_patch_grads(
+def _scatter_pallas(
     rowxb: jax.Array,
     amat: jax.Array,
     gfused: jax.Array,
@@ -104,6 +103,72 @@ def scatter_patch_grads(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(rowxb, amat, gfused)
+
+
+scatter_patch_grads = functools.partial(
+    jax.jit, static_argnums=(3, 4, 5, 6))(_scatter_pallas)
+
+
+def slab_partitioned(impl, static_argnums, sharding_rule,
+                     need_replication_factors):
+    """GSPMD-aware wrapper for slab-parallel Pallas kernels: a bare
+    `pallas_call` is an opaque custom call to the SPMD partitioner, which
+    REPLICATES it — on a data-parallel mesh every chip would all-gather the
+    operands (the scatter's amat alone is [S, NCH, CHUNK, GROUP*WIN] bf16,
+    hundreds of MB at flagship point counts) and run the full kernel once
+    per chip. Both patch kernels are embarrassingly parallel over their
+    slab grid axis, so `custom_partitioning` shards every operand and the
+    result on dim 0 and runs the kernel on local slabs only. Used on the
+    batch-local paths (`bilinear.resolve_batch_local`); single-chip paths
+    keep the plain calls. `sharding_rule` is the Shardy einsum-style factor
+    map whose FIRST factor is the slab axis; every other factor is
+    kernel-internal layout (or accumulates across the grid) and must be
+    listed in `need_replication_factors`."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cp = custom_partitioning(impl, static_argnums=static_argnums)
+
+    def _slab_axis(mesh, arg_infos):
+        spec = getattr(arg_infos[0].sharding, "spec", None)
+        if not spec or spec[0] is None:
+            return None
+        axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+        n = int(np.prod([mesh.shape[a] for a in axes]))
+        if arg_infos[0].shape[0] % n:
+            return None
+        return spec[0]
+
+    def partition(*args):
+        statics, (mesh, arg_infos, result_infos) = args[:-3], args[-3:]
+        slab = _slab_axis(mesh, arg_infos)
+
+        def spec_for(info):
+            return NamedSharding(
+                mesh, P(slab, *([None] * (len(info.shape) - 1))))
+
+        def lower(*operands):
+            return impl(*operands, *statics)
+
+        return (mesh, lower, spec_for(result_infos),
+                tuple(spec_for(a) for a in arg_infos))
+
+    cp.def_partition(
+        partition=partition,
+        sharding_rule=sharding_rule,
+        need_replication_factors=need_replication_factors,
+    )
+    return cp
+
+
+scatter_patch_grads_sharded = slab_partitioned(
+    _scatter_pallas, static_argnums=(3, 4, 5, 6),
+    # only the slab factor `s` may be sharded: chunks (n, k) accumulate into
+    # one output map and the window/lane factors are internal layout
+    sharding_rule="s n t k, s n k a, s n k l -> s r w l",
+    need_replication_factors=("n", "t", "k", "a", "l", "r", "w"),
+)
 
 
 def build_lerp_rows(o: jax.Array, wx: jax.Array) -> jax.Array:

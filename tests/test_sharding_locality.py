@@ -1,0 +1,161 @@
+"""Data-parallel training must stay sharding-local.
+
+The decoder's patch gathers fold (batch, view) into one flat slab index;
+under GSPMD that form hides batch-locality from XLA, which then ALL-GATHERS
+every fused feature map to every chip inside the decoder loop — fwd and bwd,
+every accumulation microbatch (measured: 14 all-gathers/step, incl. the full
+[B*T*N, H, W, 2C] image maps). `ops.bilinear.resolve_batch_local` switches
+blocked-view gathers to `operand_batching_dims` whenever >1 device is
+visible; these tests pin (1) numeric equality of the two forms and (2) the
+compiled 8-device accumulation train step containing no feature-map-sized
+collectives. The reference never faces this: its DDP replicates the model
+and keeps batches process-local by construction (`train.py:93,140`).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from racformer_tpu.ops.bilinear import _gather_patch
+
+
+def test_batched_gather_matches_flat(rng):
+    S, J, R0, Wp, C2 = 4, 3, 9, 16, 8
+    fused = jnp.asarray(rng.normal(size=(S * J, R0, Wp, C2)).astype(np.float32))
+    K = 37
+    # blocked-views contract: row s only touches slabs [s*J, (s+1)*J)
+    view = jnp.asarray(
+        (np.arange(S)[:, None] * J + rng.integers(0, J, (S, K))).astype(np.int32))
+    y0p = jnp.asarray(rng.integers(0, R0, (S, K)).astype(np.int32))
+    x0p = jnp.asarray(rng.integers(0, Wp - 1, (S, K)).astype(np.int32))
+
+    flat = _gather_patch(fused, view, y0p, x0p, batch_local=False)
+    batched = _gather_patch(fused, view, y0p, x0p, batch_local=True)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(batched))
+
+    # cotangent routing (the gather transpose) must agree too
+    def s(fn):
+        return lambda f: jnp.sum(
+            _gather_patch(f, view, y0p, x0p, batch_local=fn) ** 2)
+
+    gf = jax.grad(s(False))(fused)
+    gb = jax.grad(s(True))(fused)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gb), atol=1e-6)
+
+
+def _flagship_width_inputs(rng, S):
+    from racformer_tpu.ops.bilinear import aligned_width
+
+    J, R0, C2 = 2, 16, 128
+    Wp = aligned_width(24)
+    K = 256
+    fused = jnp.asarray(rng.normal(size=(S * J, R0, Wp, C2)).astype(np.float32))
+    view = jnp.asarray(
+        (np.arange(S)[:, None] * J + rng.integers(0, J, (S, K))).astype(np.int32))
+    y0p = jnp.asarray(rng.integers(0, R0 - 1, (S, K)).astype(np.int32))
+    x0p = jnp.asarray(rng.integers(0, 20, (S, K)).astype(np.int32))
+    wx = jnp.asarray(rng.uniform(size=(S, K)).astype(np.float32))
+    wy = jnp.asarray(rng.uniform(size=(S, K)).astype(np.float32))
+    return fused, view, y0p, x0p, wx, wy
+
+
+def _assert_no_collectives(hlo):
+    for op in ("all-gather", "all-to-all", "all-reduce", "collective-permute"):
+        assert not re.search(rf"= \S+ {op}\(", hlo), op
+
+
+def test_custom_vjp_path_sharding_local():
+    """Flagship-width (2C=128) path: forward batched gather + the
+    custom-partitioned Pallas scatter backward must compile to ZERO
+    collectives on a data mesh, with gradients bit-identical to the flat
+    form (whose compiled step all-gathers the scatter operands)."""
+    from racformer_tpu.ops.bilinear import _patch_sample
+
+    rng = np.random.default_rng(0)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    args = _flagship_width_inputs(rng, len(jax.devices()))
+    sh = NamedSharding(mesh, P("data"))
+
+    def loss(blocal, fused, view, y0p, x0p, wx, wy):
+        return jnp.sum(_patch_sample(blocal, fused, view, y0p, x0p, wx, wy) ** 2)
+
+    grads = {}
+    for blocal in (False, True):
+        f = jax.jit(lambda *a: jax.grad(loss, argnums=1)(blocal, *a),
+                    in_shardings=(sh,) * 6)
+        if blocal:
+            _assert_no_collectives(f.lower(*args).compile().as_text())
+        grads[blocal] = np.asarray(f(*args))
+    np.testing.assert_array_equal(grads[False], grads[True])
+
+
+def test_pallas_gather_forward_sharding_local():
+    """The Pallas gather forward (default-ON for TPU) is an opaque custom
+    call the partitioner would replicate; `gather_patch_rows_sharded` must
+    keep it slab-local and match the XLA patch path numerically."""
+    from racformer_tpu.ops.bilinear import _patch_sample, _patch_sample_pallas
+
+    rng = np.random.default_rng(1)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    args = _flagship_width_inputs(rng, len(jax.devices()))
+    sh = NamedSharding(mesh, P("data"))
+
+    f = jax.jit(lambda *a: _patch_sample_pallas(*a), in_shardings=(sh,) * 6)
+    _assert_no_collectives(f.lower(*args).compile().as_text())
+    out = np.asarray(f(*args))
+    ref = np.asarray(jax.jit(lambda *a: _patch_sample(False, *a))(*args))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_accum_train_step_has_no_large_collectives():
+    """Compile the flagship-recipe accumulation step (tiny shapes) over the
+    8-device data mesh and assert the optimized HLO moves no batch-sized
+    tensors between chips: gradient all-reduces are the only expected
+    collectives (plus sub-64KiB stragglers from the loss path)."""
+    import __graft_entry__ as ge
+    from racformer_tpu.model import preprocess_images
+    from racformer_tpu.train import TrainState, make_optimizer, make_train_step
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = len(jax.devices())
+    model = ge._flagship_model(train=True, tiny=True)
+    batch = ge._example_batch(model, B=2 * n, P=64, with_gt=True)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        preprocess_images(batch["imgs"]), batch["radar_points"],
+        batch["radar_mask"], batch["radar_depth"], batch["radar_rcs"],
+        batch["lidar2img"], batch["img2lidar"], batch["time_diff"],
+        gt_bboxes=batch["gt_bboxes"], gt_labels=batch["gt_labels"],
+        gt_mask=batch["gt_mask"])
+    params = variables["params"]
+    tx, _ = make_optimizer(params, total_steps=100)
+    state = TrainState(params, variables.get("batch_stats", {}),
+                       tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(
+        model, tx, depth_cfg=dict(num_bins=model.depth_bins, downsample=16),
+        accum_steps=2)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(lambda s, b, r: step(s, b, r, 2.0),
+                     in_shardings=(repl, {k: shard for k in batch}, repl),
+                     out_shardings=(repl, repl))
+    hlo = jitted.lower(state, batch, jax.random.PRNGKey(0)).compile().as_text()
+
+    for op in ("all-to-all", "collective-permute"):
+        assert not re.search(rf"= \S+ {op}\(", hlo), f"unexpected {op}"
+
+    nbytes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2, "pred": 1,
+              "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+    for m in re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* all-gather\(", hlo):
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        size = int(np.prod(dims)) * nbytes.get(m.group(1), 4)
+        assert size < 64 * 1024, (
+            f"feature-map-sized all-gather leaked back in: {m.group(0)} "
+            f"({size} bytes) — see ops/bilinear.resolve_batch_local")
