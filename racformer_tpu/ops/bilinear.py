@@ -323,27 +323,29 @@ def _patch_sample_bwd(batch_local, res, g):
 _patch_sample.defvjp(_patch_sample_fwd, _patch_sample_bwd)
 
 
-@jax.custom_vjp
-def _patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _patch_sample_pallas(batch_local, fused, view, y0p, x0p, wx, wy):
     """`_patch_sample` with the Pallas gather forward (`ops/gather_kernel.py`).
 
     Only profitable where the fused map is small relative to the point count
     (the kernel streams the whole map HBM->VMEM per call): the BEV
     deform-attn sites (~142 MB map, 576k points/call) qualify; the image
-    radial sampler (~600 MB level-0 map) does not."""
+    radial sampler (~600 MB level-0 map) does not. `batch_local` picks the
+    GSPMD-partitioned kernel wrapper (forward) and the slab-local scatter +
+    batched re-gather (backward) — it must match the mesh, not the call
+    site, so it threads from :func:`resolve_batch_local` like the XLA
+    path's."""
     from .gather_kernel import patch_sample_pallas
 
-    return patch_sample_pallas(fused, view, y0p, x0p, wx, wy)
+    return patch_sample_pallas(fused, view, y0p, x0p, wx, wy, batch_local)
 
 
-def _patch_sample_pallas_fwd(fused, view, y0p, x0p, wx, wy):
-    out = _patch_sample_pallas(fused, view, y0p, x0p, wx, wy)
+def _patch_sample_pallas_fwd(batch_local, fused, view, y0p, x0p, wx, wy):
+    out = _patch_sample_pallas(batch_local, fused, view, y0p, x0p, wx, wy)
     return out, (fused, view, y0p, x0p, wx, wy)
 
 
-_patch_sample_pallas.defvjp(
-    _patch_sample_pallas_fwd,
-    lambda res, g: _patch_sample_bwd(False, res, g))
+_patch_sample_pallas.defvjp(_patch_sample_pallas_fwd, _patch_sample_bwd)
 
 
 def bilinear_sample_views_nhwc(
@@ -440,7 +442,7 @@ def bilinear_sample_views_nhwc(
         # (see _patch_sample_pallas).
         if pallas_forward:
             return _patch_sample_pallas(
-                fused, jnp.broadcast_to(view, x.shape), y0p, x0p,
+                blocal, fused, jnp.broadcast_to(view, x.shape), y0p, x0p,
                 wx[..., 0], wy[..., 0])
         return _patch_sample(blocal, fused, jnp.broadcast_to(view, x.shape),
                              y0p, x0p, wx[..., 0], wy[..., 0])

@@ -137,7 +137,7 @@ gather_patch_rows_sharded = slab_partitioned(
 )
 
 
-def patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
+def patch_sample_pallas(fused, view, y0p, x0p, wx, wy, batch_local=False):
     """Drop-in forward for `ops.bilinear._patch_sample`: same (fused, view,
     y0p, x0p) contract as the XLA `_gather_patch` + `_lerp_patch` pair, with
     the gather + x-lerp in the Pallas kernel and only the y half-mix in XLA.
@@ -168,11 +168,8 @@ def patch_sample_pallas(fused, view, y0p, x0p, wx, wy):
     packed = prep((row << 16) | xb)
     of = prep(o + wx.reshape(S, K).astype(jnp.float32))
 
-    from .bilinear import resolve_batch_local
-
     interpret = jax.default_backend() == "cpu"
-    gather = (gather_patch_rows_sharded if resolve_batch_local(None)
-              else gather_patch_rows)
+    gather = gather_patch_rows_sharded if batch_local else gather_patch_rows
     res = gather(packed, of, val, chunk, interpret)
     res = res.reshape(S, nch * chunk, C2)[:, :K]
     res = res.reshape(*view.shape, C2)

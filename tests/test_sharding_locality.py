@@ -96,7 +96,9 @@ def test_custom_vjp_path_sharding_local():
 def test_pallas_gather_forward_sharding_local():
     """The Pallas gather forward (default-ON for TPU) is an opaque custom
     call the partitioner would replicate; `gather_patch_rows_sharded` must
-    keep it slab-local and match the XLA patch path numerically."""
+    keep it slab-local and match the XLA patch path numerically — and its
+    custom-VJP backward must route through the slab-local scatter too
+    (`batch_local` threads into `_patch_sample_bwd`, not pinned False)."""
     from racformer_tpu.ops.bilinear import _patch_sample, _patch_sample_pallas
 
     rng = np.random.default_rng(1)
@@ -104,11 +106,65 @@ def test_pallas_gather_forward_sharding_local():
     args = _flagship_width_inputs(rng, len(jax.devices()))
     sh = NamedSharding(mesh, P("data"))
 
-    f = jax.jit(lambda *a: _patch_sample_pallas(*a), in_shardings=(sh,) * 6)
+    f = jax.jit(lambda *a: _patch_sample_pallas(True, *a),
+                in_shardings=(sh,) * 6)
     _assert_no_collectives(f.lower(*args).compile().as_text())
     out = np.asarray(f(*args))
     ref = np.asarray(jax.jit(lambda *a: _patch_sample(False, *a))(*args))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss(blocal, fused, *rest):
+        return jnp.sum(_patch_sample_pallas(blocal, fused, *rest) ** 2)
+
+    g = jax.jit(lambda *a: jax.grad(loss, argnums=1)(True, *a),
+                in_shardings=(sh,) * 6)
+    _assert_no_collectives(g.lower(*args).compile().as_text())
+    gref = jax.jit(lambda *a: jax.grad(
+        lambda f, *r: jnp.sum(_patch_sample(False, f, *r) ** 2))(*a))(*args)
+    np.testing.assert_allclose(
+        np.asarray(g(*args)), np.asarray(gref), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_sharded_eval_forward_has_no_large_collectives():
+    """val.py's offline eval jits the eval-mode forward + box decode over
+    Mesh(('data',)) (`val.py:242-270`); the forward's patch gathers must
+    resolve batch-local there exactly like the train step's."""
+    import __graft_entry__ as ge
+    from racformer_tpu.eval.decode import decode_boxes
+    from racformer_tpu.model import preprocess_images
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = len(jax.devices())
+    model = ge._flagship_model(train=False, tiny=True)
+    batch = ge._example_batch(model, B=n, P=64)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    arg_keys = ("imgs", "radar_points", "radar_mask", "radar_depth",
+                "radar_rcs", "lidar2img", "img2lidar", "time_diff")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), preprocess_images(batch["imgs"]),
+        *[batch[k] for k in arg_keys[1:]])
+
+    def predict(b):
+        outs = model.apply(
+            variables, preprocess_images(b["imgs"]),
+            *[b[k] for k in arg_keys[1:]])
+        return decode_boxes(outs["all_cls_scores"][-1],
+                            outs["all_bbox_preds"][-1], max_num=8)
+
+    shard = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(predict, in_shardings=({k: shard for k in arg_keys},),
+                     out_shardings=shard)
+    hlo = jitted.lower(batch).compile().as_text()
+    nbytes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2, "pred": 1}
+    for m in re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* all-gather\(", hlo):
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        size = int(np.prod(dims)) * nbytes.get(m.group(1), 4)
+        assert size < 64 * 1024, (
+            f"feature-map-sized all-gather in the sharded eval forward: "
+            f"{m.group(0)} ({size} bytes)")
+    out = jitted(batch)
+    assert np.isfinite(np.asarray(out["scores"])).all()
 
 
 @pytest.mark.slow
