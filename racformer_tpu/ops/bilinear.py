@@ -164,7 +164,12 @@ def _gather_patch(fused: jax.Array, view: jax.Array, y0p: jax.Array,
     operand to [S, J, R0, Wp, 2C] and gathers with operand batching dims so
     GSPMD keeps a batch-sharded operand local instead of all-gathering it
     (see :func:`resolve_batch_local`). Point order and numerics match the
-    flat form exactly (both are s-major).
+    flat form exactly (both are s-major). CAUTION: the `view % J` below
+    silently WRAPS an out-of-contract absolute index into the local block
+    (the flat form would read the true slab), so a contract violation
+    diverges single-chip vs multichip instead of failing — both call sites
+    build `view` as `s*J + local` by construction (`deform_attn.py` sm,
+    `msmv.py` sv), keep it that way.
 
     NOTE (measured, v5e): keep the (view, y, x) triple-index form with the
     narrow (1, 1, 2, 2C) slice. Both "cheaper-looking" reformulations hit

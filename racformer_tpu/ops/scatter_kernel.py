@@ -140,9 +140,26 @@ def slab_partitioned(impl, static_argnums, sharding_rule,
             return None
         return spec[0]
 
+    def _warn_replicated(mesh, arg_infos):
+        # the downgrade is legal but catastrophic for bandwidth (every chip
+        # all-gathers the full operands and runs the whole kernel); it must
+        # never happen silently — the slab count not dividing the mesh, or
+        # the partitioner leaving dim 0 unsharded, are config bugs
+        import warnings
+
+        if mesh.size > 1:
+            warnings.warn(
+                f"slab_partitioned({getattr(impl, '__name__', impl)}): dim-0 "
+                f"sharding unusable (operand0 shape {arg_infos[0].shape[0]} "
+                f"rows over spec {getattr(arg_infos[0].sharding, 'spec', None)}"
+                f" on mesh {dict(mesh.shape)}) — falling back to REPLICATED "
+                f"execution on every chip", stacklevel=2)
+
     def partition(*args):
         statics, (mesh, arg_infos, result_infos) = args[:-3], args[-3:]
         slab = _slab_axis(mesh, arg_infos)
+        if slab is None:
+            _warn_replicated(mesh, arg_infos)
 
         def spec_for(info):
             return NamedSharding(
@@ -154,8 +171,22 @@ def slab_partitioned(impl, static_argnums, sharding_rule,
         return (mesh, lower, spec_for(result_infos),
                 tuple(spec_for(a) for a in arg_infos))
 
+    def infer_sharding_from_operands(*args):
+        # GSPMD (non-Shardy) propagation path: without this callback a
+        # jax_use_shardy_partitioner=False run aborts in C++ (the rule above
+        # is Shardy-only). Result inherits operand 0's dim-0 sharding.
+        mesh, arg_infos, result_info = args[-3:]
+        slab = _slab_axis(mesh, arg_infos)
+        shape = (result_info.shape if hasattr(result_info, "shape")
+                 else result_info[0].shape)
+        return NamedSharding(mesh, P(slab, *([None] * (len(shape) - 1))))
+
     cp.def_partition(
         partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        # propagate_user_sharding stays None: the framework then passes the
+        # consumer's sharding through unchanged, which is exactly right —
+        # partition() re-derives the slab split from the operands regardless
         sharding_rule=sharding_rule,
         need_replication_factors=need_replication_factors,
     )

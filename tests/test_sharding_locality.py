@@ -23,6 +23,57 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from racformer_tpu.ops.bilinear import _gather_patch
 
 
+def test_hlo_audit_helper():
+    """The shared all-gather auditor must catch the tuple-form (combined /
+    async-start) all-gathers XLA emits on real TPUs — a dtype-only regex
+    misses them entirely — and count dtype-true byte sizes."""
+    from racformer_tpu.utils.hlo_audit import (
+        assert_no_large_allgathers, large_allgathers)
+
+    hlo = "\n".join([
+        "  %all-gather.1 = f32[8,4096]{1,0} all-gather(f32[1,4096]{1,0} %p0),"
+        " replica_groups={{0,1}}",
+        "  %ag.2 = (bf16[64,512]{1,0}, bf16[64,512]{1,0}) all-gather("
+        "bf16[8,512]{1,0} %a, bf16[8,512]{1,0} %b), dimensions={0}",
+        "  %ag.3 = (bf16[128]{0}, bf16[1024]{0}) all-gather-start("
+        "bf16[128]{0} %c), dimensions={0}",
+        "  %small = f32[16]{0} all-gather(f32[2]{0} %d)",
+        "  %notag = f32[999999]{0} add(f32[999999]{0} %x, f32[999999]{0} %y)",
+    ])
+    found = large_allgathers(hlo, limit=2048)
+    sizes = sorted(s for s, _ in found)
+    # 8*4096*4 = 131072; tuple: 2*64*512*2 = 131072; start: (128+1024)*2=2304
+    assert sizes == [2304, 131072, 131072], sizes
+    assert not large_allgathers(hlo, limit=200_000)
+    with pytest.raises(AssertionError, match="feature-map-sized"):
+        assert_no_large_allgathers(hlo, limit=2048)
+
+
+def test_slab_partitioned_survives_gspmd_partitioner(rng):
+    """`jax_use_shardy_partitioner=False` (the GSPMD debugging/compat path)
+    must not abort: the Shardy sharding_rule is ignored there, so the
+    wrapper needs a working infer_sharding_from_operands fallback."""
+    from racformer_tpu.ops.bilinear import _patch_sample
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    args = _flagship_width_inputs(
+        np.random.default_rng(3), len(jax.devices()))
+    sh = NamedSharding(mesh, P("data"))
+
+    def loss(fused, *rest):
+        return jnp.sum(_patch_sample(True, fused, *rest) ** 2)
+
+    prev = jax.config.jax_use_shardy_partitioner
+    try:
+        jax.config.update("jax_use_shardy_partitioner", False)
+        g = jax.jit(jax.grad(loss), in_shardings=(sh,) * 6)(*args)
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", prev)
+    ref = jax.jit(jax.grad(
+        lambda f, *r: jnp.sum(_patch_sample(False, f, *r) ** 2)))(*args)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
+
+
 def test_batched_gather_matches_flat(rng):
     S, J, R0, Wp, C2 = 4, 3, 9, 16, 8
     fused = jnp.asarray(rng.normal(size=(S * J, R0, Wp, C2)).astype(np.float32))
@@ -65,7 +116,7 @@ def _flagship_width_inputs(rng, S):
 
 def _assert_no_collectives(hlo):
     for op in ("all-gather", "all-to-all", "all-reduce", "collective-permute"):
-        assert not re.search(rf"= \S+ {op}\(", hlo), op
+        assert not re.search(rf"= (\([^)]*\)|\S+) {op}(?:-start)?\(", hlo), op
 
 
 def test_custom_vjp_path_sharding_local():
@@ -155,14 +206,10 @@ def test_sharded_eval_forward_has_no_large_collectives():
     shard = NamedSharding(mesh, P("data"))
     jitted = jax.jit(predict, in_shardings=({k: shard for k in arg_keys},),
                      out_shardings=shard)
+    from racformer_tpu.utils.hlo_audit import assert_no_large_allgathers
+
     hlo = jitted.lower(batch).compile().as_text()
-    nbytes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2, "pred": 1}
-    for m in re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* all-gather\(", hlo):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        size = int(np.prod(dims)) * nbytes.get(m.group(1), 4)
-        assert size < 64 * 1024, (
-            f"feature-map-sized all-gather in the sharded eval forward: "
-            f"{m.group(0)} ({size} bytes)")
+    assert_no_large_allgathers(hlo, what="sharded eval forward")
     out = jitted(batch)
     assert np.isfinite(np.asarray(out["scores"])).all()
 
@@ -204,14 +251,9 @@ def test_accum_train_step_has_no_large_collectives():
                      out_shardings=(repl, repl))
     hlo = jitted.lower(state, batch, jax.random.PRNGKey(0)).compile().as_text()
 
-    for op in ("all-to-all", "collective-permute"):
-        assert not re.search(rf"= \S+ {op}\(", hlo), f"unexpected {op}"
+    from racformer_tpu.utils.hlo_audit import assert_no_large_allgathers
 
-    nbytes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2, "pred": 1,
-              "s8": 1, "u8": 1, "f64": 8, "s64": 8}
-    for m in re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* all-gather\(", hlo):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        size = int(np.prod(dims)) * nbytes.get(m.group(1), 4)
-        assert size < 64 * 1024, (
-            f"feature-map-sized all-gather leaked back in: {m.group(0)} "
-            f"({size} bytes) — see ops/bilinear.resolve_batch_local")
+    for op in ("all-to-all", "collective-permute"):
+        assert not re.search(
+            rf"= (\([^)]*\)|\S+) {op}(?:-start)?\(", hlo), f"unexpected {op}"
+    assert_no_large_allgathers(hlo, what="accumulation train step")

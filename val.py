@@ -173,6 +173,12 @@ def main():
         # promoted to the primary FPS protocol)
         from racformer_tpu.eval.streaming import StreamingEvaluator
 
+        # streaming is a SINGLE-device latency protocol: on a multi-chip
+        # host the batch-local auto rule (device_count > 1) would switch the
+        # patch gathers to the measured-slower batched/partitioned forms for
+        # no benefit — pin them to the single-chip fast path unless the user
+        # overrode explicitly (ops/bilinear.resolve_batch_local precedence)
+        os.environ.setdefault("RACFORMER_BATCH_LOCAL", "0")
         ev = StreamingEvaluator(model, variables, eval_cfg=ecfg)
         prev_scene = None
         use_radar_cols = None
