@@ -74,6 +74,29 @@ def test_slab_partitioned_survives_gspmd_partitioner(rng):
     np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
 
 
+def test_slab_partitioned_warns_when_replicated():
+    """When the partitioner hands `slab_partitioned` operands with no usable
+    dim-0 sharding (here: fully replicated on a >1-device mesh), it must
+    fall back to replicated execution LOUDLY — the silent form of this
+    downgrade (every chip all-gathers the operands and runs the full
+    kernel) is the exact regression this module exists to prevent — and
+    the fallback must still compute the right value."""
+    from racformer_tpu.ops.bilinear import _patch_sample, _patch_sample_pallas
+
+    rng_ = np.random.default_rng(5)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    args = _flagship_width_inputs(rng_, len(jax.devices()))
+    repl = NamedSharding(mesh, P())
+
+    f = jax.jit(lambda *a: _patch_sample_pallas(True, *a),
+                in_shardings=(repl,) * 6, out_shardings=repl)
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        out = f(*args)
+    ref = jax.jit(lambda *a: _patch_sample(False, *a))(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_batched_gather_matches_flat(rng):
     S, J, R0, Wp, C2 = 4, 3, 9, 16, 8
     fused = jnp.asarray(rng.normal(size=(S * J, R0, Wp, C2)).astype(np.float32))
