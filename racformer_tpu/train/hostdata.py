@@ -16,6 +16,19 @@ from typing import Sequence
 import numpy as np
 
 
+def epoch_order(seed: int, epoch: int, n: int) -> np.ndarray:
+    """Per-epoch dataset permutation, derived purely from (seed, epoch).
+
+    Every process computes the same order with zero communication — the
+    TPU-native equivalent of `DistributedGroupSampler.set_epoch`
+    (`/root/reference/loaders/builder.py:19-28`), which reshuffles the
+    sampler each epoch so no two epochs see identical batch composition.
+    Deterministic under resume: re-deriving epoch e's order after a restart
+    yields the same permutation the interrupted run used.
+    """
+    return np.random.default_rng((int(seed), int(epoch))).permutation(n)
+
+
 def host_batch_indices(
     order: Sequence[int],
     step: int,

@@ -19,7 +19,26 @@ import textwrap
 import numpy as np
 import pytest
 
-from racformer_tpu.train.hostdata import host_batch_indices
+from racformer_tpu.train.hostdata import epoch_order, host_batch_indices
+
+
+def test_epoch_order_reshuffles_and_is_cross_process_consistent():
+    """DistributedGroupSampler.set_epoch equivalent
+    (`/root/reference/loaders/builder.py:19-28`): consecutive epochs see
+    different orders, every process derives the identical permutation, and
+    the per-step windows tile the epoch disjointly."""
+    n, gb, n_proc = 37, 8, 4
+    o0, o1 = epoch_order(0, 0, n), epoch_order(0, 1, n)
+    assert sorted(o0) == list(range(n)) and sorted(o1) == list(range(n))
+    assert list(o0) != list(o1)  # epochs reshuffle
+    assert list(epoch_order(0, 1, n)) == list(o1)  # deterministic (resume)
+    assert list(epoch_order(1, 0, n)) != list(o0)  # seed-dependent
+    steps_per_epoch = n // gb
+    seen = []
+    for step in range(steps_per_epoch):
+        for p in range(n_proc):
+            seen += host_batch_indices(o1, step, gb, n_proc, p)
+    assert len(seen) == len(set(seen))  # within-epoch windows are disjoint
 
 
 def test_host_batch_indices_partition():
