@@ -4,8 +4,9 @@ Capability match for the reference's radar path
 (`/root/reference/models/racformer.py:77-148`): Voxelization +
 PillarFeatureNet(7ch -> 64) + PointPillarsScatter(128x128) + a 3-layer
 Conv-BN-ReLU stack (64 -> 64 -> 256). Realized TPU-natively with the dense
-segment ops in `ops.pillars` (see that module for the design rationale and the
-deliberate no-per-pillar-point-cap deviation).
+segment ops in `ops.pillars`, including the reference's `max_num_points=10`
+per-pillar cap (`configs/..._f8.py:122-127`) via a static-shape first-k rank
+filter (see `ops.pillars.cap_pillar_points`).
 """
 
 from __future__ import annotations
@@ -23,6 +24,9 @@ from .layers import ConvBN
 class RadarPillarEncoder(nn.Module):
     feat_channels: int = 64
     out_channels: int = 256
+    # reference hard-voxelization cap (first k points per pillar in point
+    # order); 0 disables
+    max_pts_per_pillar: int = 10
     grid: PillarGrid = PillarGrid(
         pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
         voxel_size=(0.8, 0.8, 8.0),
@@ -44,7 +48,8 @@ class RadarPillarEncoder(nn.Module):
         """
         points = jnp.asarray(points).at[..., 2].set(0.0)
         feats, ids, valid = jax.vmap(
-            lambda p, m: augment_pillar_points(p, m, self.grid)
+            lambda p, m: augment_pillar_points(
+                p, m, self.grid, self.max_pts_per_pillar)
         )(points, mask)
 
         x = nn.Dense(

@@ -10,11 +10,15 @@ over the (small) 128x128 pillar grid directly:
   * per-point feature augmentation (cluster + center offsets),
   * the PFN's per-pillar max-pool via `segment_max` straight into the grid.
 
-This is mathematically equivalent to PillarFeatureNet (max is order-free) with
-one deliberate deviation: no `max_num_points=10` subsampling per pillar (the
-reference's cap exists only to bound the dense voxel tensor; with max-pooling
-the cap only discards information). Radar clouds are ~1-2k points, so the
-padded point count stays small and everything is static-shaped.
+This is mathematically equivalent to PillarFeatureNet (max is order-free),
+including the reference's `max_num_points=10` per-pillar cap
+(`/root/reference/configs/racformer_r50_nuimg_704x256_f8.py:122-127`): hard
+voxelization keeps the FIRST k points of each voxel in point order, which
+`cap_pillar_points` reproduces with a static-shape stable-sort rank instead
+of a dynamic `[num_voxels, max_pts, C]` tensor. The cap feeds both the
+cluster means and the max-pool, exactly like the dense formulation. Radar
+clouds are ~1-2k points, so the padded point count stays small and
+everything is static-shaped.
 """
 
 from __future__ import annotations
@@ -46,7 +50,34 @@ def pillar_indices(points_xy: jax.Array, mask: jax.Array, grid: PillarGrid):
     return ids, valid
 
 
-def augment_pillar_points(points: jax.Array, mask: jax.Array, grid: PillarGrid):
+def cap_pillar_points(ids: jax.Array, valid: jax.Array, max_pts: int,
+                      dummy_id: int) -> jax.Array:
+    """First-k-per-pillar cap: returns `valid` with every point whose
+    within-pillar arrival rank is >= max_pts turned off.
+
+    Matches mmdet3d hard voxelization's `max_num_points` semantics (the
+    deterministic variant keeps the first `max_pts` points of each voxel in
+    point order; `/root/reference/models/racformer.py:151-177` + config
+    `:122-127`). Static-shaped: a stable argsort groups each pillar's points
+    while preserving arrival order, the rank is position minus segment
+    start, and the rank is scattered back to point order.
+    """
+    P = ids.shape[0]
+    key = jnp.where(valid, ids, dummy_id)
+    order = jnp.argsort(key, stable=True)
+    sk = jnp.take(key, order)
+    pos = jnp.arange(P, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum,
+                                     jnp.where(is_start, pos, 0))
+    rank_sorted = pos - start
+    rank = jnp.zeros((P,), jnp.int32).at[order].set(rank_sorted)
+    return valid & (rank < max_pts)
+
+
+def augment_pillar_points(points: jax.Array, mask: jax.Array, grid: PillarGrid,
+                          max_pts_per_pillar: int = 0):
     """Build the 13-channel PFN input per point.
 
     points: [P, 7] (x, y, z, rcs, vx_comp, vy_comp, t_lag); mask: [P].
@@ -54,9 +85,17 @@ def augment_pillar_points(points: jax.Array, mask: jax.Array, grid: PillarGrid):
       [raw 7 | xyz - cluster_mean 3 | xyz - pillar_center 3]
     matching mmdet3d's PillarFeatureNet with `with_cluster_center` and
     `with_voxel_center` (non-legacy 3-channel center offset).
+
+    `max_pts_per_pillar > 0` applies the reference's hard-voxelization cap
+    BEFORE the cluster means, so capped points contribute to neither the
+    means nor the downstream max-pool (exact `max_num_points=10` semantics).
     """
     num_seg = grid.ny * grid.nx + 1
     ids, valid = pillar_indices(points[:, :2], mask, grid)
+    if max_pts_per_pillar and max_pts_per_pillar > 0:
+        valid = cap_pillar_points(ids, valid, max_pts_per_pillar,
+                                  grid.ny * grid.nx)
+        ids = jnp.where(valid, ids, grid.ny * grid.nx)
     vmask = valid[:, None].astype(points.dtype)
 
     xyz = points[:, :3] * vmask

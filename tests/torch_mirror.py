@@ -15,8 +15,10 @@ Documented deviations of the flax side that this mirror follows (they are the
 audited parity semantics, see docs/PARITY.md):
   * batch-major BEV queue order everywhere (the reference's B>1 scramble fix,
     `nn/bev_sampling.py:79-86`) — identical at B=1, which is what the test uses;
-  * no 10-point pillar cap (information-preserving under max-pool) — the test
-    fixture keeps pillars sparse so both agree regardless.
+  * the 10-point pillar cap is implemented on BOTH sides since round 4
+    (first-k in point order; here as an explicit python loop, flax as a
+    stable-sort rank — tests/test_pillars.py drives a DENSE >10-pt fixture
+    through both).
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ class MirrorCfg:
     depth_range: tuple = (1.0, 65.0)
     downsample: int = 16
     mid_channels: int = 256  # DepthNet mid (the flax side hardcodes 256)
+    max_pts_per_pillar: int = 10  # reference hard-voxelization cap (:122-127)
 
 
 # --------------------------------------------------------------------------
@@ -443,6 +446,25 @@ class TRadarEncoder(nn.Module):
             iy = torch.floor((p[:, 1] - cfg.pc_range[1]) / vy).long()
             valid = m & (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
             ids = torch.where(valid, iy * nx + ix, torch.full_like(ix, ny * nx))
+            # hard-voxelization cap: keep the FIRST max_num_points of each
+            # pillar in point order (mmdet3d deterministic semantics,
+            # reference config `max_num_points=10`, `:122-127`) — a plain
+            # python loop, deliberately independent of the flax sort-rank
+            # formulation it serves as oracle for
+            if cfg.max_pts_per_pillar > 0:
+                counts: dict = {}
+                keep = torch.zeros_like(valid)
+                for i in range(P):
+                    if not bool(valid[i]):
+                        continue
+                    v = int(ids[i])
+                    c = counts.get(v, 0)
+                    if c < cfg.max_pts_per_pillar:
+                        keep[i] = True
+                        counts[v] = c + 1
+                valid = keep
+                ids = torch.where(valid, ids,
+                                  torch.full_like(ids, ny * nx))
             vm = valid[:, None].float()
             xyz = p[:, :3] * vm
             ssum = torch.zeros(ny * nx + 1, 3).index_add_(0, ids, xyz)
