@@ -39,7 +39,16 @@ class CheckpointManager:
         self.verify = verify
         self.retries = retries
 
-    def save(self, step: int, state: Any) -> None:
+    def save(self, step: int, state: Any, ema: Any = None) -> None:
+        """Save `state` (optionally bundled with EMA params) verified.
+
+        EMA rides inside the same managed checkpoint as `{"state", "ema"}`
+        so it is verified, rotated by `max_keep`, and resumable — the
+        orbax-native equivalent of `MEGVIIEMAHook`'s per-epoch EMA saves
+        (`/root/reference/models/hook/ema.py:100-118`), replacing the old
+        side-channel `ema_params.pkl`.
+        """
+        item = state if ema is None else {"state": state, "ema": ema}
         for attempt in range(self.retries):
             if attempt > 0:
                 # orbax refuses to save over an existing step; a retry must
@@ -48,38 +57,109 @@ class CheckpointManager:
                     self.mgr.delete(step)
                 except Exception:
                     pass
-            self.mgr.save(step, args=ocp.args.StandardSave(state))
+            self.mgr.save(step, args=ocp.args.StandardSave(item))
             self.mgr.wait_until_finished()
             if not self.verify:
                 return
             try:
-                restored = self.mgr.restore(step, args=ocp.args.StandardRestore(state))
+                restored = self.mgr.restore(step, args=ocp.args.StandardRestore(item))
                 # the reference re-loads the whole checkpoint and retries up
                 # to 10x (`check_checkpoint.py:141-157`); compare a hash over
                 # every leaf so any corrupted tensor fails verification
-                if _tree_digest(state) == _tree_digest(restored):
+                if _tree_digest(item) == _tree_digest(restored):
                     return
             except Exception:
                 pass
             if attempt == self.retries - 1:
                 raise RuntimeError(f"checkpoint save verification failed @ step {step}")
 
-    def restore_latest(self, state_template: Any) -> Optional[tuple]:
+    def restore_latest(self, state_template: Any, ema_template: Any = None
+                       ) -> Optional[tuple]:
+        """Returns (step, state) — or (step, state, ema) when `ema_template`
+        is given. Either template shape restores from either checkpoint
+        layout (plain state vs {"state", "ema"} bundle), so a run can be
+        resumed with or without `--ema` regardless of how it was saved."""
         step = self.mgr.latest_step()
         if step is None:
             return None
+        bundled = self._is_bundled(step)
+        if ema_template is not None:
+            if bundled:
+                restored = self.mgr.restore(step, args=ocp.args.StandardRestore(
+                    {"state": state_template, "ema": ema_template}))
+                return step, restored["state"], restored["ema"]
+            # saved without EMA: seed EMA from the restored params
+            state = self.mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+            return step, state, None
+        if bundled:
+            restored = self._read_mgr().restore(step, args=ocp.args.PyTreeRestore(
+                item={"state": state_template}, partial_restore=True))
+            return step, restored["state"]
         restored = self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
         return step, restored
 
-    def restore_latest_eval(self, params_template, batch_stats_template):
+    def _read_mgr(self):
+        """Fresh manager for PyTreeRestore reads: a manager that has done a
+        StandardSave has its handler registry bound to the Standard handler
+        and rejects PyTree restore args on the same item."""
+        return ocp.CheckpointManager(self.dir)
+
+    def _is_bundled(self, step: int) -> bool:
+        """True if checkpoint `step` was saved as a {"state", "ema"} bundle.
+
+        Reads the saved `_METADATA` tree directly: a fresh manager (the
+        resume process) cannot reconstruct item metadata without a handler
+        registry, so `item_metadata` is only usable in the saving process."""
+        import json
+
+        meta_path = os.path.join(self.dir, str(step), "default", "_METADATA")
+        try:
+            with open(meta_path) as f:
+                tm = json.load(f)["tree_metadata"]
+            roots = set()
+            for k in tm:
+                k = k.strip()
+                # keys are stringified tuples "('state', 'params', ...)" or
+                # (older layouts) "state.params..." / "state/params/..."
+                root = (k.split("'")[1] if k.startswith("(")
+                        else k.split("/")[0].split(".")[0])
+                roots.add(root)
+            return roots == {"state", "ema"}
+        except Exception:
+            try:
+                meta = self.mgr.item_metadata(step)
+                tree = getattr(meta, "tree", None) or getattr(meta, "item", meta)
+                return (hasattr(tree, "keys")
+                        and set(tree.keys()) == {"state", "ema"})
+            except Exception:
+                return False
+
+    def restore_latest_eval(self, params_template, batch_stats_template,
+                            use_ema: bool = False):
         """Restore only (params, batch_stats) from a training checkpoint —
         eval has no optimizer state, and a full-template StandardRestore
-        refuses a tree whose `opt_state` leaf is None."""
+        refuses a tree whose `opt_state` leaf is None. With `use_ema=True`
+        the EMA params are returned instead (the reference evaluates its
+        EMA checkpoints directly, `models/hook/ema.py:100-118`)."""
         step = self.mgr.latest_step()
         if step is None:
             return None
         item = {"params": params_template, "batch_stats": batch_stats_template}
-        restored = self.mgr.restore(
+        if self._is_bundled(step):
+            want = {"state": item}
+            if use_ema:
+                want = {"state": {"batch_stats": batch_stats_template},
+                        "ema": params_template}
+            restored = self._read_mgr().restore(
+                step, args=ocp.args.PyTreeRestore(item=want, partial_restore=True))
+            if use_ema:
+                return step, restored["ema"], restored["state"]["batch_stats"]
+            return (step, restored["state"]["params"],
+                    restored["state"]["batch_stats"])
+        if use_ema:
+            raise ValueError("checkpoint has no EMA params (saved without --ema)")
+        restored = self._read_mgr().restore(
             step, args=ocp.args.PyTreeRestore(item=item, partial_restore=True))
         return step, restored["params"], restored["batch_stats"]
 

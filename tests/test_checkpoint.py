@@ -66,3 +66,47 @@ def test_save_verify_retry_resaves(tmp_path, monkeypatch):
     step, restored = cm.restore_latest(state)
     assert step == 3
     np.testing.assert_array_equal(restored["w"], state["w"])
+
+
+def test_ema_bundle_save_resume_and_eval(tmp_path):
+    """EMA params ride the managed checkpoint (verified/rotated/resumable),
+    replacing the side-channel pickle — `models/hook/ema.py:100-118`
+    equivalent. Resume must restore EMA state; eval can select EMA weights."""
+    params = {"w": jnp.ones((3,))}
+    stats = {"bn": {"mean": jnp.zeros((2,))}}
+    state = TrainState(params, stats, {"count": jnp.zeros(())},
+                       jnp.asarray(5, jnp.int32))
+    ema = {"w": jnp.full((3,), 0.5)}
+    mgr = CheckpointManager(str(tmp_path), verify=True)
+    mgr.save(1, state, ema=ema)
+
+    # resume WITH --ema: both trees come back
+    step, st, e = mgr.restore_latest(state, ema_template=params)
+    assert step == 1 and int(st.step) == 5
+    np.testing.assert_allclose(np.asarray(e["w"]), 0.5)
+
+    # resume WITHOUT --ema from a bundled checkpoint still works
+    step, st2 = mgr.restore_latest(state)
+    np.testing.assert_allclose(np.asarray(st2.params["w"]), 1.0)
+
+    # eval restore: raw params vs EMA params
+    _, p, bs = mgr.restore_latest_eval(params, stats)
+    np.testing.assert_allclose(np.asarray(p["w"]), 1.0)
+    _, pe, bse = mgr.restore_latest_eval(params, stats, use_ema=True)
+    np.testing.assert_allclose(np.asarray(pe["w"]), 0.5)
+    np.testing.assert_allclose(np.asarray(bse["bn"]["mean"]), 0.0)
+
+
+def test_resume_with_ema_from_plain_checkpoint(tmp_path):
+    """A run saved without --ema can be resumed with --ema: EMA comes back
+    None and train.py seeds it from the restored params."""
+    params = {"w": jnp.ones((3,))}
+    state = TrainState(params, {}, {}, jnp.zeros((), jnp.int32))
+    mgr = CheckpointManager(str(tmp_path), verify=True)
+    mgr.save(2, state)
+    step, st, e = mgr.restore_latest(state, ema_template=params)
+    assert step == 2 and e is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        mgr.restore_latest_eval(params, {}, use_ema=True)
