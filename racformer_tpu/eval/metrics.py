@@ -19,7 +19,7 @@ none), otherwise mAAE reports 1.0 (max error) so NDS stays conservative.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -189,6 +189,7 @@ def nuscenes_metrics(
     front_only: bool = False,
     class_range: Optional[Dict[str, float]] = None,
     return_curves: bool = False,
+    gt_filter: Optional[Callable] = None,
 ) -> Dict[str, float]:
     """preds[i]: dict(bboxes [K, 9], scores [K], labels [K], valid [K],
     optional attrs [K] int); gts[i]: dict(bboxes [G, 9], labels [G], mask [G],
@@ -199,10 +200,15 @@ def nuscenes_metrics(
     per-class max range measured from the EGO pose when `ego_xy` is present
     (the devkit measures ego-frame distance; the lidar origin sits ~1 m away
     — `gen_sweep_info` bakes `ego2lidar_xy` into infos) and removal of GT
-    boxes with zero lidar+radar points when `num_pts` is present. The
-    devkit's bike-rack filter needs nuScenes map records and is not
-    reproducible from info files; it removes a handful of bicycle/motorcycle
-    GTs.
+    boxes with zero lidar+radar points when `num_pts` is present.
+
+    `gt_filter(sample_idx, boxes [G, 9], labels [G], gt_dict) -> keep [G]`
+    is a pluggable last-stage GT filter, applied after the range/points/
+    front filters — exactly where `filter_eval_boxes` runs its bike-rack
+    step (drop bicycle/motorcycle GT whose center falls on a bike-rack map
+    polygon). That filter needs the nuScenes map API, so when real map data
+    is present the caller plugs it in here; nothing else in the protocol
+    moves.
     """
     num_classes = len(class_names)
     ranges = dict(CLASS_RANGE) if class_range is None else dict(class_range)
@@ -242,6 +248,10 @@ def nuscenes_metrics(
             keep &= gboxes[:, 0] > 0
         gboxes, glabels = gboxes[keep], glabels[keep]
         gattrs = gattrs[keep] if gattrs is not None else None
+        if gt_filter is not None and len(gboxes):
+            keep = np.asarray(gt_filter(i, gboxes, glabels, g), bool)
+            gboxes, glabels = gboxes[keep], glabels[keep]
+            gattrs = gattrs[keep] if gattrs is not None else None
         for c in range(num_classes):
             sel = glabels == c
             if sel.any():

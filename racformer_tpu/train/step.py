@@ -29,7 +29,7 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
-                    match_stats: bool = False):
+                    match_stats: bool = False, loss_scale: float = 0.0):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     `match_stats=True` adds the decoder's per-layer Hungarian assignment to
@@ -50,8 +50,17 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
     sharding-local when the PER-CHIP batch is a multiple of accum_steps
     (measured: the contiguous split all-gathers the full batch to every
     chip — docs/experiments/accum_split_sharding.py).
+
+    `loss_scale > 0` enables the reference's static fp16 loss scaling as a
+    parity-debugging option (`configs/..._f8.py:294` `fp16 =
+    dict(loss_scale=512.)` + mmcv `Fp16OptimizerHook`): the loss is
+    multiplied by the scale before differentiation and the gradients
+    divided by it after, so any low-precision underflow in the backward
+    matches the reference run being debugged. The default bf16 path needs
+    no scaling (8-bit exponent), so this stays off outside parity work.
     """
     depth_cfg = depth_cfg or {}
+    loss_scale = float(loss_scale or 0.0)
 
     def loss_fn(params, batch_stats, batch, rng, depth_weight):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -89,7 +98,10 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
             ) * depth_weight
             losses["loss_depth"] = ld
             losses["loss_total"] = losses["loss_total"] + ld
-        return losses["loss_total"], (losses, mutated["batch_stats"])
+        objective = losses["loss_total"]
+        if loss_scale > 0:
+            objective = objective * loss_scale  # unscaled in grads_and_losses
+        return objective, (losses, mutated["batch_stats"])
 
     def grads_and_losses(params, batch_stats, batch, rng, depth_weight):
         if accum_steps == 1:
@@ -160,6 +172,8 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
     def train_step(state: TrainState, batch: Dict, rng, depth_weight=2.0) -> tuple:
         grads, losses, new_stats = grads_and_losses(
             state.params, state.batch_stats, batch, rng, depth_weight)
+        if loss_scale > 0:
+            grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates

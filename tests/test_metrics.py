@@ -247,3 +247,27 @@ def test_ego_relative_range_filter():
     m_lidar2 = nuscenes_metrics([p2], [dict(base_g)], class_names=("car",))
     m_ego2 = nuscenes_metrics([p2], [g2], class_names=("car",))
     assert m_ego2["mAP"] > m_lidar2["mAP"]
+
+
+def test_pluggable_gt_filter_hook():
+    """The bike-rack-filter plug point (devkit `filter_eval_boxes` final
+    stage): a gt_filter that drops every bicycle GT must remove the class
+    from evaluation entirely, and an all-keep filter must be a no-op."""
+    preds, gts = make_perfect_case()
+    bike = 5  # "bicycle" in CLASS_NAMES
+    # make sure the class is present
+    gts[0]["labels"][0] = bike
+    preds[0]["labels"][0] = bike
+
+    base = nuscenes_metrics(preds, gts)
+    noop = nuscenes_metrics(preds, gts, gt_filter=lambda i, b, l, g:
+                            np.ones(len(b), bool))
+    assert noop == base
+
+    filtered = nuscenes_metrics(preds, gts, return_curves=True,
+                                gt_filter=lambda i, b, l, g: l != bike)
+    assert "bicycle" not in filtered["per_class"]
+    # the class's (now unmatched) predictions count as FPs elsewhere? no —
+    # they belong to a class with zero GT, which the protocol skips, so mAP
+    # is computed over the remaining classes only
+    assert filtered["mAP"] > 0.9
