@@ -91,5 +91,11 @@ eval_cfg = dict(
     post_center_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
 )
 
+# in-training periodic eval on the val split, every 2 epochs
+# (`/root/reference/configs/racformer_r50_nuimg_704x256_f8.py:334`
+# `evaluation = dict(interval=2)`); `max_samples` caps the in-training val
+# sweep (None = full split), `save_best` picks the best-checkpoint metric
+evaluation = dict(interval=2, max_samples=None, save_best="NDS")
+
 load_from = "pretrain/cascade_mask_rcnn_r50_fpn_nuimages.pkl"
 revise_keys = [("backbone", "img_backbone")]

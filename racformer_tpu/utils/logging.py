@@ -108,6 +108,11 @@ class MetricLogger:
             return
         self.logger.info("eval @ %d: %s", step,
                          "  ".join(f"{k} {v:.4f}" for k, v in metrics.items()))
+        if self._jsonl:
+            rec = {"step": step, "phase": "val",
+                   **{k: float(v) for k, v in metrics.items()}}
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
         if self._tb:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"val/{k}", float(v), step)

@@ -152,7 +152,63 @@ def test_train_load_from_and_ema(tmp_path):
         "--override", *TINY, "optimizer.warmup_steps=1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert (wd / "ema_params.pkl").exists()
+    # EMA rides inside the managed orbax checkpoint (no more side-channel
+    # pickle): the saved item is the {"state", "ema"} bundle
+    from racformer_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(wd), verify=False)
+    step = mgr.mgr.latest_step()
+    assert step is not None
+    assert mgr._is_bundled(step)
+    assert not (wd / "ema_params.pkl").exists()
+
+
+@pytest.mark.slow
+def test_train_resume_restores_ema(tmp_path):
+    """Resume with --ema restores EMA state from the bundled checkpoint
+    (VERDICT r3 item 9: resumable EMA through the orbax manager)."""
+    wd = tmp_path / "wd"
+    base = [
+        sys.executable, "train.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--work-dir", str(wd), "--ema",
+        "--override", *TINY, "optimizer.warmup_steps=1",
+    ]
+    r = _run(base + ["--max-steps", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(base + ["--max-steps", "2", "--resume"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed from step" in r.stdout, r.stdout[-1500:]
+
+
+@pytest.mark.slow
+def test_train_in_training_eval_and_best_checkpoint(tmp_path):
+    """VERDICT r3 item 2: a 2-epoch synthetic run with evaluation.interval=1
+    runs the sharded offline predict path at each epoch boundary, logs val
+    metrics (metrics.jsonl phase=val records with NDS/mAP), and saves a
+    `best` checkpoint under work_dir/best (reference:
+    `/root/reference/train.py:147-172` + `configs/..._f8.py:334`)."""
+    import json
+
+    wd = tmp_path / "wd"
+    # synthetic_samples=16 / global batch 8 = 2 steps per epoch -> a 4-step
+    # run covers 2 epochs with an eval at each boundary
+    r = _run([
+        sys.executable, "train.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--max-steps", "4", "--work-dir", str(wd),
+        "--override", *TINY, "optimizer.warmup_steps=1",
+        "synthetic_samples=16",
+        "evaluation.interval=1", "evaluation.max_samples=2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(line) for line in open(wd / "metrics.jsonl")]
+    vals = [x for x in recs if x.get("phase") == "val"]
+    assert len(vals) == 2, [x.get("phase") for x in recs]  # one per epoch
+    assert "NDS" in vals[0] and "mAP" in vals[0]
+    assert (wd / "best" / "checkpoints").exists()
+    best = json.loads((wd / "best" / "metrics.json").read_text())
+    assert "NDS" in best and best["step"] in (2, 4)
 
 
 @pytest.mark.slow

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ema", action="store_true",
                    help="track EMA weights (MEGVIIEMAHook equivalent)")
+    p.add_argument("--fp16-loss-scale", type=float, default=None,
+                   help="static loss scale for parity debugging (mirrors the "
+                        "reference's fp16 = dict(loss_scale=512.)); also "
+                        "readable from cfg.fp16['loss_scale']")
     p.add_argument("--match-stats", action="store_true",
                    help="dump per-decoder-layer Hungarian match statistics "
                         "each epoch (working ISSaveHook equivalent)")
@@ -102,7 +106,8 @@ def main():
     ann = cfg.data["train"]["ann_file"]
     if args.synthetic or not os.path.exists(ann):
         dataset = SyntheticDataset(
-            num_samples=max(64, global_batch * 4),
+            num_samples=int(cfg.get("synthetic_samples",
+                                    max(64, global_batch * 4))),
             num_cams=model.num_cams,
             num_frames=model.num_frames,
             hw=model.image_hw,
@@ -178,10 +183,17 @@ def main():
 
     ckpt = CheckpointManager(work_dir, max_keep=4)
     start_step = 0
+    ema_params = None
     if args.resume:
-        restored = ckpt.restore_latest(state)
+        # EMA state rides inside the managed checkpoint (verified/rotated/
+        # resumable — `/root/reference/models/hook/ema.py:100-118` equivalent)
+        restored = (ckpt.restore_latest(state, ema_template=state.params)
+                    if args.ema else ckpt.restore_latest(state))
         if restored:
-            start_step, state = restored
+            if args.ema:
+                start_step, state, ema_params = restored
+            else:
+                start_step, state = restored
             print(f"resumed from step {start_step}")
 
     match_hook = None
@@ -206,10 +218,14 @@ def main():
               f"batch_size_per_chip={batch_per_chip}; using {eff}")
         accum = eff
 
+    fp16 = dict(cfg.get("fp16") or {})
+    loss_scale = (args.fp16_loss_scale if args.fp16_loss_scale is not None
+                  else float(fp16.get("loss_scale", 0.0)))
     train_step = make_train_step(
         model, tx, depth_cfg=dict(cfg.get("depth", {})),
         accum_steps=accum,
         match_stats=match_hook is not None,
+        loss_scale=loss_scale,
     )
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
@@ -228,19 +244,20 @@ def main():
     # measurably slower on TPU for that volume
     rng = jax.random.key(args.seed + 17, impl="rbg")
 
-    ema_params = None
     ema_step = None
     if args.ema:
         from racformer_tpu.train.hooks import ema_update
 
-        # deep-copy: device_put would alias state.params, whose buffers the
-        # donated train step frees
-        ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        if ema_params is None:
+            # deep-copy: device_put would alias state.params, whose buffers
+            # the donated train step frees
+            ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        else:
+            ema_params = jax.device_put(ema_params, repl)
         ema_step = jax.jit(ema_update, donate_argnums=(0,))
 
-    from racformer_tpu.train.hostdata import host_batch_indices
+    from racformer_tpu.train.hostdata import epoch_order, host_batch_indices
 
-    order = np.random.default_rng(args.seed).permutation(len(dataset))
     n_proc = jax.process_count()
     local_batch = global_batch // n_proc
 
@@ -258,9 +275,96 @@ def main():
                 out[k] = jax.device_put(jnp.asarray(v), shard)
         return out
 
+    # per-epoch reshuffle (DistributedGroupSampler.set_epoch equivalent):
+    # each epoch draws a fresh permutation from (seed, epoch), identical on
+    # every process; the cache holds the current + next epoch so the
+    # prefetcher can run ahead across the boundary without re-deriving
+    _orders: dict = {}
+
     def step_indices(step):
-        return host_batch_indices(order, step, global_batch, n_proc,
-                                  jax.process_index())
+        epoch = step // steps_per_epoch
+        if epoch not in _orders:
+            for e in [k for k in _orders if k < epoch - 1]:
+                del _orders[e]
+            _orders[epoch] = epoch_order(args.seed, epoch, len(dataset))
+        return host_batch_indices(_orders[epoch], step % steps_per_epoch,
+                                  global_batch, n_proc, jax.process_index())
+
+    # --- in-training periodic eval (the reference registers DistEvalHook
+    # with `evaluation = dict(interval=2)`, `/root/reference/train.py:147-172`
+    # + `configs/..._f8.py:334`): every `interval` epochs, run the sharded
+    # offline predict path on the val split, log NDS/mAP, keep a `best`
+    # checkpoint under work_dir/best -------------------------------------
+    ev_cfg = dict(cfg.get("evaluation") or {})
+    eval_interval = int(ev_cfg.get("interval", 2))
+    eval_max = ev_cfg.get("max_samples")
+    best_key = ev_cfg.get(
+        "save_best", "mAP3D_all" if cfg.get("dataset_type") == "vod" else "NDS")
+    _eval = {"runner": None, "dataset": None, "best": float("-inf"),
+             "last_step": -1, "best_mgr": None}
+
+    def _build_val_dataset():
+        vann = cfg.data.get("val", {}).get("ann_file", "")
+        if args.synthetic or not os.path.exists(vann):
+            return SyntheticDataset(
+                num_samples=int(eval_max or 8),
+                num_cams=model.num_cams, num_frames=model.num_frames,
+                hw=model.image_hw, max_radar_points=cfg.radar["max_points"],
+                max_gt=model.max_gt,
+            )
+        if cfg.get("dataset_type") == "vod":
+            from racformer_tpu.data.vod import VoDDataset
+
+            return VoDDataset(
+                vann, data_root=os.path.dirname(os.path.dirname(vann)),
+                image_hw=model.image_hw,
+                max_radar_points=cfg.radar["max_points"],
+                max_gt=model.max_gt, max_samples=eval_max,
+            )
+        return NuScenesRadarDataset(
+            vann, num_frames=model.num_frames,
+            frame_interval=int(cfg.data["val"].get("frame_interval", 6)),
+            image_hw=model.image_hw,
+            ida_cfg=dict(cfg.ida_aug) if cfg.get("ida_aug") else None,
+            max_radar_points=cfg.radar["max_points"], max_gt=model.max_gt,
+            training=False, max_samples=eval_max,
+        )
+
+    def run_in_training_eval(step, cur_state):
+        if _eval["last_step"] == step:
+            return
+        _eval["last_step"] = step
+        from racformer_tpu.eval.offline import OfflineEvaluator, detection_metrics
+
+        if _eval["runner"] is None:
+            eval_model = RaCFormer(**model_cfg, train_mode=False)
+            _eval["runner"] = OfflineEvaluator(
+                eval_model, eval_cfg=dict(cfg.get("eval_cfg", {})))
+            _eval["dataset"] = _build_val_dataset()
+        preds, gts_v, _ = _eval["runner"].run(
+            {"params": cur_state.params, "batch_stats": cur_state.batch_stats},
+            _eval["dataset"], max_samples=eval_max)
+        if not gts_v:
+            return
+        metrics = detection_metrics(
+            preds, gts_v, is_vod=cfg.get("dataset_type") == "vod",
+            class_names=list(cfg.get("class_names", [])) or None,
+            front_only=bool(cfg.get("eval_front_only", False)),
+        )
+        scalars = {k: float(v) for k, v in metrics.items()
+                   if isinstance(v, (int, float))}
+        logger.log_eval(step + 1, scalars)
+        score = scalars.get(best_key)
+        if score is not None and score > _eval["best"] and jax.process_index() == 0:
+            _eval["best"] = score
+            if _eval["best_mgr"] is None:
+                _eval["best_mgr"] = CheckpointManager(
+                    os.path.join(work_dir, "best"), max_keep=1, verify=False)
+            _eval["best_mgr"].save(step + 1, jax.device_get(cur_state))
+            import json as _json
+
+            with open(os.path.join(work_dir, "best", "metrics.json"), "w") as f:
+                _json.dump({"step": step + 1, best_key: score, **scalars}, f)
 
     # async input pipeline: sample loading in worker threads, batch k+1
     # device_put while step k runs (the reference uses 4 DataLoader worker
@@ -322,12 +426,18 @@ def main():
                 flush_pending()
                 if match_hook is not None:
                     match_hook.after_epoch(epoch)
-                ckpt.save(step + 1, jax.device_get(state))
-                if ema_params is not None:
-                    import pickle as _pkl
-
-                    with open(os.path.join(work_dir, "ema_params.pkl"), "wb") as f:
-                        _pkl.dump(jax.device_get(ema_params), f)
+                ckpt.save(
+                    step + 1, jax.device_get(state),
+                    ema=(jax.device_get(ema_params)
+                         if ema_params is not None else None),
+                )
+                # eval fires on true epoch boundaries only (matching the
+                # reference's epoch-interval DistEvalHook); a --max-steps
+                # run that stops mid-epoch skips it
+                if (eval_interval > 0
+                        and (step + 1) % steps_per_epoch == 0
+                        and (epoch + 1) % eval_interval == 0):
+                    run_in_training_eval(step, state)
     finally:
         loader.close()
         if match_hook is not None:

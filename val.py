@@ -59,8 +59,6 @@ def main():
 
     from racformer_tpu.config import Config
     from racformer_tpu.data import NuScenesRadarDataset, SyntheticDataset
-    from racformer_tpu.eval import decode_boxes
-    from racformer_tpu.eval.metrics import nuscenes_metrics
     from racformer_tpu.model import RaCFormer, preprocess_images
 
     cfg = Config.fromfile(args.config).merge_override(args.override)
@@ -245,99 +243,28 @@ def main():
                     g["ego_xy"] = s["ego_xy"]
                 gts.append(g)
     else:
-        # batched offline eval, sharded over the data mesh: the TPU-native
-        # equivalent of the reference's `multi_gpu_test` + rank-0 result
-        # gather (`/root/reference/val.py:134-137`) — one jitted program over
-        # Mesh(('data',)), predictions fetched to host per chunk, tail padded
-        # with the last sample and dropped after decode.
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        # batched offline eval, sharded over the data mesh — shared with
+        # train.py's in-training periodic eval (eval/offline.py)
+        from racformer_tpu.eval.offline import OfflineEvaluator
 
-        devices = np.asarray(jax.devices())
-        mesh = Mesh(devices, ("data",))
-        shard = NamedSharding(mesh, P("data"))
-        B = max(1, int(args.batch_size)) * len(devices)
+        ev = OfflineEvaluator(model, eval_cfg=ecfg,
+                              batch_per_chip=max(1, int(args.batch_size)))
+        preds, gts, fps = ev.run(variables, dataset)
 
-        def predict(b):
-            outs = model.apply(
-                variables, preprocess_images(b["imgs"]), *[b[k] for k in arg_keys[1:]]
-            )
-            return decode_boxes(
-                outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1],
-                max_num=ecfg.get("max_num", 300),
-                score_threshold=ecfg.get("score_threshold", 0.05),
-                post_center_range=tuple(ecfg.get(
-                    "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
-                legacy_version=ecfg.get("legacy_version", "v1.0.0"),
-            )
-
-        predict = jax.jit(
-            predict, in_shardings=({k: shard for k in arg_keys},),
-            out_shardings=shard,
-        )
-
-        for start in range(0, num, B):
-            idxs = list(range(start, min(start + B, num)))
-            pad = B - len(idxs)
-            sb = dataset.batch(idxs + [idxs[-1]] * pad)
-            b = {k: jax.device_put(jnp.asarray(sb[k]), shard) for k in arg_keys}
-            t0 = time.perf_counter()
-            out = predict(b)
-            jax.block_until_ready(out)
-            if start > 0:  # skip the compile chunk
-                t_total += time.perf_counter() - t0
-                n += len(idxs)
-            out = jax.device_get(out)
-            for j in range(len(idxs)):
-                preds.append({k: v[j] for k, v in out.items()})
-                if "gt_bboxes" in sb:
-                    g = dict(bboxes=sb["gt_bboxes"][j],
-                             labels=sb["gt_labels"][j],
-                             mask=sb["gt_mask"][j])
-                    if "gt_attrs" in sb:
-                        g["attrs"] = sb["gt_attrs"][j]
-                    if "gt_num_pts" in sb:
-                        g["num_pts"] = sb["gt_num_pts"][j]
-                    if "ego_xy" in sb:
-                        g["ego_xy"] = sb["ego_xy"][j]
-                    gts.append(g)
-
-    fps = n / t_total if t_total > 0 else 0.0
+    if args.streaming:
+        fps = n / t_total if t_total > 0 else 0.0
     print(f"eval: {num} samples, {fps:.2f} samples/s")
 
     if gts:
-        if is_vod:
-            from racformer_tpu.eval.kitti_eval import kitti_vod_metrics
+        from racformer_tpu.eval.offline import detection_metrics
 
-            vp = [
-                {"bboxes": p["bboxes"][p["valid"]][:, :7],
-                 "scores": p["scores"][p["valid"]],
-                 "labels": p["labels"][p["valid"]]}
-                for p in preds
-            ]
-            vg = [{"bboxes": g["bboxes"][g["mask"], :7],
-                   "labels": g["labels"][g["mask"]]} for g in gts]
-            metrics = kitti_vod_metrics(vp, vg)
-        else:
-            # predicted attributes via mmdet3d's velocity-aware rule (the
-            # convention behind the reference's devkit submissions), coded
-            # into the same vocabulary as the baked GT attributes
-            from racformer_tpu.tools.export_results import attribute_for
-            from racformer_tpu.tools.gen_sweep_info import ATTRIBUTES
-
-            names = list(cfg.get("class_names", [])) or None
-            if names is not None:
-                for p in preds:
-                    boxes = np.asarray(p["bboxes"])
-                    labels = np.asarray(p["labels"])
-                    p["attrs"] = np.asarray([
-                        ATTRIBUTES.index(attribute_for(
-                            names[int(l)], float(b[7]), float(b[8])))
-                        for b, l in zip(boxes, labels)
-                    ], np.int32)
-            metrics = nuscenes_metrics(
-                preds, gts, front_only=bool(cfg.get("eval_front_only", False)),
-                return_curves=bool(args.plot_dir),
-            )
+        metrics = detection_metrics(
+            preds, gts, is_vod=is_vod,
+            class_names=list(cfg.get("class_names", [])) or None,
+            front_only=bool(cfg.get("eval_front_only", False)),
+            return_curves=bool(args.plot_dir),
+        )
+        if not is_vod:
             if args.plot_dir:
                 # the metrics call indexes labels into the protocol
                 # CLASS_NAMES, so the plots must too
