@@ -8,6 +8,7 @@ from racformer_tpu.nn.bev_nets import BEVResNet, FPNLSS
 from racformer_tpu.nn.resnet import ResNet50
 
 
+@pytest.mark.slow
 def test_resnet50_shapes(rng):
     m = ResNet50(dtype=jnp.float32, remat=False)
     x = jnp.asarray(rng.normal(size=(1, 64, 128, 3)), jnp.float32)
@@ -23,6 +24,7 @@ def test_resnet50_shapes(rng):
     assert 23_000_000 < n < 24_000_000
 
 
+@pytest.mark.slow
 def test_vovnet_shapes(rng):
     m = VoVNet(spec_name="V-19-slim-eSE", remat=False, dtype=jnp.float32)
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)

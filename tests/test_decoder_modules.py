@@ -4,6 +4,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -124,9 +125,9 @@ def test_conv_gru_semantics(rng):
     np.testing.assert_allclose(out[0, 0], want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_intermediates_capture(rng):
     """DUMP-equivalent sow capture: per-iteration tau + sample points."""
-    import pytest
     from tests.test_model_forward import make_model, tiny_batch
     from racformer_tpu.model import preprocess_images
 

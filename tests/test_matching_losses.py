@@ -1,5 +1,6 @@
 """Tests for Hungarian matching and detection/depth losses."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,6 +124,7 @@ def test_detection_loss_runs(rng):
     assert np.isfinite(float(losses0["loss_total"]))
 
 
+@pytest.mark.slow
 def test_hungarian_optimal_cost_randomized(rng):
     """The in-graph JV solver must achieve scipy's optimal total cost on many
     random instances (allowing tied alternative assignments)."""

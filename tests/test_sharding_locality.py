@@ -49,6 +49,7 @@ def test_hlo_audit_helper():
         assert_no_large_allgathers(hlo, limit=2048)
 
 
+@pytest.mark.slow
 def test_slab_partitioned_survives_gspmd_partitioner(rng):
     """`jax_use_shardy_partitioner=False` (the GSPMD debugging/compat path)
     must not abort: the Shardy sharding_rule is ignored there, so the
@@ -74,6 +75,7 @@ def test_slab_partitioned_survives_gspmd_partitioner(rng):
     np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_slab_partitioned_warns_when_replicated():
     """When the partitioner hands `slab_partitioned` operands with no usable
     dim-0 sharding (here: fully replicated on a >1-device mesh), it must
@@ -142,6 +144,7 @@ def _assert_no_collectives(hlo):
         assert not re.search(rf"= (\([^)]*\)|\S+) {op}(?:-start)?\(", hlo), op
 
 
+@pytest.mark.slow
 def test_custom_vjp_path_sharding_local():
     """Flagship-width (2C=128) path: forward batched gather + the
     custom-partitioned Pallas scatter backward must compile to ZERO
@@ -167,6 +170,7 @@ def test_custom_vjp_path_sharding_local():
     np.testing.assert_array_equal(grads[False], grads[True])
 
 
+@pytest.mark.slow
 def test_pallas_gather_forward_sharding_local():
     """The Pallas gather forward (default-ON for TPU) is an opaque custom
     call the partitioner would replicate; `gather_patch_rows_sharded` must
