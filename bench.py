@@ -217,6 +217,36 @@ def main():
     fps_e2e = measure(host_frame)
     fps_loader = measure_loader()
 
+    # --- chip-utilization accounting (VERDICT r3 item 5) -----------------
+    # FLOPs/bytes per frame from XLA's cost analysis of the COMPILED fused
+    # streaming step (the exact op set the chip runs, so matmuls/convs are
+    # counted analytically and the sampling gathers show up as bytes moved).
+    # Peak numbers for TPU v5e (public spec): 197 TFLOP/s bf16, 819 GB/s HBM.
+    V5E_PEAK_BF16_FLOPS = 197e12
+    V5E_HBM_BW = 819e9
+    mfu = hbm_util = flops_per_frame = bytes_per_frame = None
+    try:
+        ev = StreamingEvaluator(model, variables)
+        ev.step(dev_frame(0), blocking=False)  # bootstrap the window cache
+        b = lambda x: jnp.asarray(x)[None]
+        f = dev_frame(1)
+        ca = ev._fused_step.lower(
+            variables, ev.cache, b(f["imgs"]), b(f["radar_points"]),
+            b(f["radar_mask"]), b(f["radar_depth"]), b(f["radar_rcs"]),
+            b(f["lidar2img"]), b(f["img2lidar"]),
+            jnp.float32(f["timestamp"]),
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_frame = float(ca.get("flops", 0.0))
+        bytes_per_frame = float(ca.get("bytes accessed", 0.0))
+        if flops_per_frame > 0:
+            mfu = flops_per_frame * fps_dev / V5E_PEAK_BF16_FLOPS
+        if bytes_per_frame > 0:
+            hbm_util = bytes_per_frame * fps_dev / V5E_HBM_BW
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"# cost_analysis unavailable: {e!r}", flush=True)
+
     print(
         json.dumps(
             {
@@ -225,6 +255,20 @@ def main():
                 "unit": ("frames/s (6cam streaming, 8-frame window, v5e, "
                          "slope-measured, device-resident inputs)"),
                 "vs_baseline": round(fps_dev / A100_REFERENCE_FPS, 3),
+                # the documented 3-6 FPS bracket for the assumed baseline
+                # (see module docstring): low = ratio if the true A100
+                # number is 6 FPS, high = ratio if it is 3 FPS
+                "vs_baseline_low": round(fps_dev / 6.0, 3),
+                "vs_baseline_high": round(fps_dev / 3.0, 3),
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "hbm_bw_util": (round(hbm_util, 4)
+                                if hbm_util is not None else None),
+                "flops_per_frame": flops_per_frame,
+                "bytes_per_frame": bytes_per_frame,
+                "util_note": ("mfu/hbm_bw_util = XLA cost-analysis "
+                              "flops & bytes of the compiled fused "
+                              "streaming step x measured FPS over TPU v5e "
+                              "peaks (197 TFLOP/s bf16, 819 GB/s)"),
                 "fps_e2e_tunnel": round(fps_e2e, 3),
                 "fps_e2e_loader": round(fps_loader, 3),
                 "e2e_note": ("e2e_tunnel: uint8 images + column radar maps "
