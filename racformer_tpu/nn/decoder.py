@@ -232,7 +232,23 @@ class RaCFormerDecoder(nn.Module):
         # unrolled layer re-stages the large shared weights (the 67 MB
         # AdaptiveMixing generator alone added ~39 ms/step of copies) while
         # the while-loop keeps them resident across iterations.
-        layer_cls = nn.remat(RaCFormerDecoderLayer, prevent_cse=False)
+        # remat policy knob (config `decoder.remat_policy` > env
+        # RACFORMER_REMAT_POLICY > full remat). "dots_no_batch" saves
+        # non-batch matmul outputs across the scan (less backward recompute,
+        # more HBM); "full" recomputes everything. Swept on the v5e in
+        # docs/experiments/remat_policy_ab.py.
+        import os as _os
+
+        pol_name = cfg.pop("remat_policy", None) or _os.environ.get(
+            "RACFORMER_REMAT_POLICY", "full")
+        policy = {
+            "full": None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }[pol_name]
+        layer_cls = nn.remat(RaCFormerDecoderLayer, prevent_cse=False,
+                             policy=policy)
         scan = nn.scan(
             layer_cls,
             variable_broadcast="params",

@@ -291,9 +291,11 @@ def _patch_sample_bwd(batch_local, res, g):
     rowxb = jnp.stack([prep(row), prep(xb)], axis=2)
     valid = (jnp.arange(kpad) < K).reshape(1, nch, chunk, 1)
     amat = build_lerp_rows(prep(o), prep(wx.astype(jnp.float32))) * valid
-    gf = pad_chunks(
-        gfused.reshape(S, K, C2).transpose(0, 2, 1), kpad
-    ).transpose(0, 2, 1).reshape(S, nch, chunk, C2).astype(jnp.bfloat16)
+    # pad the K axis in place: the old transpose-pad-transpose around
+    # pad_chunks staged two whole-tensor relayouts of [S, K, 128] (the
+    # round-3 profile's 2x72 ms bf16 re-layout fusions in this backward)
+    gf = pad_chunks(gfused.reshape(S, K, C2), kpad, axis=1).reshape(
+        S, nch, chunk, C2).astype(jnp.bfloat16)
 
     interpret = jax.default_backend() == "cpu"
     # batch_local: the GSPMD-partitioned wrapper keeps the scatter (and its

@@ -214,12 +214,14 @@ def build_lerp_rows(o: jax.Array, wx: jax.Array) -> jax.Array:
     return a.astype(jnp.bfloat16)
 
 
-def pad_chunks(x: jax.Array, kpad: int, fill=0):
-    """Pad the last axis of [S, K] to kpad."""
-    K = x.shape[-1]
+def pad_chunks(x: jax.Array, kpad: int, fill=0, axis: int = -1):
+    """Pad `axis` (default last) of x from K to kpad."""
+    axis = axis % x.ndim
+    K = x.shape[axis]
     if K == kpad:
         return x
-    widths = [(0, 0)] * (x.ndim - 1) + [(0, kpad - K)]
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, kpad - K)
     return jnp.pad(x, widths, constant_values=fill)
 
 
