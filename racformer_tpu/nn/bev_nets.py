@@ -62,8 +62,12 @@ class BEVResNet(nn.Module):
 
 
 def _upsample_bilinear(x, factor):
+    # reference FPN_LSS: nn.Upsample(..., mode='bilinear',
+    # align_corners=True) (`necks/lss_fpn.py:25-26,64-67`)
+    from .layers import resize_bilinear_align_corners
+
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * factor, W * factor, C), "bilinear")
+    return resize_bilinear_align_corners(x, (H * factor, W * factor))
 
 
 class FPNLSS(nn.Module):

@@ -91,8 +91,12 @@ class RadarBEVTemporalEncoder(nn.Module):
 
         h = ConvGRU(self.hidden, dtype=self.dtype, name="gru")(down)
 
+        from .layers import resize_bilinear_align_corners
+
         h = h.reshape(B * T, H // r, W // r, self.hidden)
-        h = jax.image.resize(h, (B * T, H, W, self.hidden), "bilinear")
+        # reference: nn.Upsample(scale_factor=2, mode='bilinear',
+        # align_corners=True) (`racformer_transformer.py:638`)
+        h = resize_bilinear_align_corners(h, (H, W))
         h = nn.Conv(self.hidden, (3, 3), padding="SAME", dtype=self.dtype, name="up_conv")(h)
 
         fused = jnp.concatenate([flat, h], axis=-1)

@@ -18,6 +18,39 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def resize_bilinear_align_corners(x, out_hw):
+    """Exact `torch.nn.Upsample(mode='bilinear', align_corners=True)` on
+    [..., H, W, C] (separable endpoint-anchored lerp).
+
+    The reference uses align_corners=True at every bilinear upsample
+    (`racformer_transformer.py:638` ConvGRU, `necks/lss_fpn.py:25-26,64-67`
+    FPN_LSS); `jax.image.resize('bilinear')` is half-pixel
+    (align_corners=False) and deviates by up to half a source pixel at the
+    borders — a real checkpoint-parity skew caught by the flagship-shape
+    integration golden."""
+    H, W = x.shape[-3], x.shape[-2]
+    Ho, Wo = out_hw
+
+    def axis_interp(a, n_in, n_out, axis):
+        if n_in == n_out:
+            return a
+        if n_out == 1 or n_in == 1:
+            pos = jnp.zeros((n_out,), jnp.float32)
+        else:
+            pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w = (pos - lo).astype(a.dtype)
+        shape = [1] * a.ndim
+        shape[axis] = n_out
+        w = w.reshape(shape)
+        return (jnp.take(a, lo, axis=axis) * (1 - w)
+                + jnp.take(a, hi, axis=axis) * w)
+
+    x = axis_interp(x, H, Ho, x.ndim - 3)
+    return axis_interp(x, W, Wo, x.ndim - 2)
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm that always uses stored running statistics (affine learnable).
 

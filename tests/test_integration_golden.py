@@ -138,3 +138,72 @@ def test_full_detector_golden(rng):
         np.asarray(outs["all_bbox_preds"]),
         want["all_bbox_preds"].numpy(),
         rtol=1e-3, atol=2e-3, err_msg="final bbox preds")
+
+
+@pytest.mark.slow
+def test_full_detector_golden_flagship_shapes(rng):
+    """VERDICT r3 item 4: the SAME golden at production geometry — 6 cams,
+    8 frames, 256x704 images, D=96 SID bins, 128^2 BEV, 900 queries, 6
+    decoder iterations, B=1. This is the only proxy that exercises the
+    resolution-dependent machinery (W-aligned map padding, 16-wide kernel
+    windows, the full d_region schedule) before real data exists. CPU-heavy:
+    expect tens of minutes on the 1-core test host."""
+    cfg = MirrorCfg(
+        num_cams=6, num_frames=8, embed_dims=256, num_query=900,
+        num_clusters=6, num_layers=6, image_hw=(256, 704), depth_bins=96,
+        bev_size=(128, 128),
+    )
+    torch.manual_seed(7)
+    gen = torch.Generator().manual_seed(11)
+    mirror = TorchRaCFormer(cfg)
+    mirror.eval()
+    with torch.no_grad():
+        _randomize_bn_stats(mirror, gen)
+    sd = mirror.state_dict_reference()
+
+    batch, _ = tiny_batch(rng, B=1, T=cfg.num_frames, N=cfg.num_cams,
+                          H=cfg.image_hw[0], W=cfg.image_hw[1], P=256)
+    model = _flax_model(cfg)
+    args = (
+        preprocess_images(jnp.asarray(batch["imgs"])),
+        jnp.asarray(batch["radar_points"]),
+        jnp.asarray(batch["radar_mask"]),
+        jnp.asarray(batch["radar_depth"]),
+        jnp.asarray(batch["radar_rcs"]),
+        jnp.asarray(batch["lidar2img"]),
+        jnp.asarray(batch["img2lidar"]),
+        jnp.asarray(batch["time_diff"]),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    converted, unmatched = convert_state_dict(sd, variables, strict=False)
+    assert unmatched == [], unmatched[:10]
+
+    mean = np.array([123.675, 116.280, 103.530], np.float32)
+    std = np.array([58.395, 57.120, 57.375], np.float32)
+    imgs_t = (batch["imgs"][..., ::-1] - mean) / std
+    t = lambda a: torch.from_numpy(np.ascontiguousarray(a)).float()
+    with torch.no_grad():
+        want = mirror(
+            t(imgs_t).permute(0, 1, 2, 5, 3, 4),
+            t(batch["radar_points"]),
+            torch.from_numpy(batch["radar_mask"]),
+            t(batch["radar_depth"]),
+            t(batch["radar_rcs"]),
+            t(batch["lidar2img"]),
+            t(batch["img2lidar"]),
+            t(batch["time_diff"]),
+        )
+
+    outs = jax.jit(model.apply)(converted, *args)
+    np.testing.assert_allclose(
+        np.asarray(outs["depth_logits"]),
+        want["depth_logits"].permute(0, 1, 3, 4, 2).numpy(),
+        rtol=2e-3, atol=3e-3, err_msg="depth logits @ flagship shapes")
+    np.testing.assert_allclose(
+        np.asarray(outs["all_cls_scores"]),
+        want["all_cls_scores"].numpy(),
+        rtol=2e-3, atol=5e-3, err_msg="final cls scores @ flagship shapes")
+    np.testing.assert_allclose(
+        np.asarray(outs["all_bbox_preds"]),
+        want["all_bbox_preds"].numpy(),
+        rtol=2e-3, atol=5e-3, err_msg="final bbox preds @ flagship shapes")

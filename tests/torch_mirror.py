@@ -775,8 +775,13 @@ class TDecoderLayer(nn.Module):
         te.temporal_fusion = nn.Conv2d(C + 64, C, 3, padding=1)
         gru = nn.Module()
         cell = nn.Module()
-        cell.gates_conv = nn.Conv2d(C + 64, 3 * 64, 3, padding=1)
-        cell.matching_layer = nn.Conv2d(64, C, 1)
+        # ConvGRU(input_channels=hidden_dims=64, hidden_channels=64)
+        # (`racformer_transformer.py:631,666-672`): gates take
+        # input + matched-hidden = 64 + 64 channels REGARDLESS of embed_dims
+        # (the old `C + 64` only coincided at the tiny cfg's C=64 — caught by
+        # the flagship-shape golden)
+        cell.gates_conv = nn.Conv2d(64 + 64, 3 * 64, 3, padding=1)
+        cell.matching_layer = nn.Conv2d(64, 64, 1)
         gru.convGRUCell = cell
         te.convGRU = gru
         self.sampling_radar_bev.temporal_encoder = te
@@ -805,7 +810,9 @@ class TDecoderLayer(nn.Module):
             h = (1 - z) * h + z * cand
             hs.append(h)
         h = torch.stack(hs, 1).reshape(B * T, 64, H // 2, W // 2)
-        h = F.interpolate(h, size=(H, W), mode="bilinear", align_corners=False)
+        # reference: nn.Upsample(mode='bilinear', align_corners=True)
+        # (`racformer_transformer.py:638`)
+        h = F.interpolate(h, size=(H, W), mode="bilinear", align_corners=True)
         h = te.upsample[1](h)
         fused = te.temporal_fusion(torch.cat([flat, h], dim=1))
         return fused.reshape(B, T, C, H, W)
