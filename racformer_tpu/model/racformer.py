@@ -74,6 +74,14 @@ class RaCFormer(nn.Module):
     train_mode: bool = False
     trunk_dtype: Any = jnp.bfloat16
     head_dtype: Any = jnp.float32
+    # parity-debug option: EXACT reference train-mode BN semantics for the
+    # BEV branches — frame 0 runs the LSS view transformer + radar encoder
+    # in train mode (batch stats from frame 0 only), history frames run in
+    # eval mode (running stats) under stop_gradient
+    # (`/root/reference/models/racformer.py:316-331`). The default batched
+    # path computes BN stats over all T frames instead — the documented
+    # deviation this flag exists to bound (docs/PARITY.md).
+    bn_frame0_only: bool = False
 
     def setup(self):
         self.img_backbone = ResNet50(dtype=self.trunk_dtype, name="img_backbone")
@@ -136,20 +144,11 @@ class RaCFormer(nn.Module):
             name="pts_bbox_head",
         )
 
-    def encode_frame(self, imgs, radar_points, radar_mask, radar_depth,
-                     radar_rcs, img2lidar):
-        """One (batched) frame's features.
-
-        imgs: [S, N, H, W, 3] normalized; radar_points: [S, P, 7];
-        radar_depth / radar_rcs: [S, N, H, W]; img2lidar: [S, N, 4, 4]
-        (S = B or B*T).
-
-        Returns (fpn_feats: L x [S, N, h, w, C], lss_bev [S, ny, nx, C],
-                 radar_bev [S, ny, nx, C], depth_logits [S, N, hf, wf, D]).
-        """
+    def _trunk(self, imgs):
+        """Backbone + necks over [S, N, H, W, 3] -> (sampler-ready fpn list,
+        lss_feat [S, N, hf, wf, C]). The reference also runs the backbone
+        over ALL frames in one batch (`models/racformer.py:300`)."""
         S, N, H, W, _ = imgs.shape
-        train = self.train_mode
-
         x = imgs.reshape(S * N, H, W, 3)
         c2, c3, c4, c5 = self.img_backbone(x)
         fpn = self.img_neck([c2, c3, c4, c5])
@@ -176,12 +175,34 @@ class RaCFormer(nn.Module):
         lss_feat = self.img_lss_neck([c4, c5])  # [SN, H/16, W/16, C]
         hf, wf = lss_feat.shape[1], lss_feat.shape[2]
         lss_feat = lss_feat.astype(jnp.float32).reshape(S, N, hf, wf, self.embed_dims)
+        return fpn, lss_feat
 
+    def _bev_branches(self, lss_feat, radar_points, radar_mask, radar_depth,
+                      radar_rcs, img2lidar, train):
+        """LSS view transform + radar pillar branch for S (frame-)samples."""
+        S, N = lss_feat.shape[0], lss_feat.shape[1]
         mlp_input = img2lidar[..., :3, :3].reshape(S, N, 9)
         lss_bev, depth_logits = self.img_lss_view_transformer(
             lss_feat, radar_depth, radar_rcs, img2lidar, mlp_input, train=train
         )
         radar_bev = self.radar_encoder(radar_points, radar_mask, train=train)
+        return lss_bev, radar_bev, depth_logits
+
+    def encode_frame(self, imgs, radar_points, radar_mask, radar_depth,
+                     radar_rcs, img2lidar):
+        """One (batched) frame's features.
+
+        imgs: [S, N, H, W, 3] normalized; radar_points: [S, P, 7];
+        radar_depth / radar_rcs: [S, N, H, W]; img2lidar: [S, N, 4, 4]
+        (S = B or B*T).
+
+        Returns (fpn_feats: L x [S, N, h, w, C], lss_bev [S, ny, nx, C],
+                 radar_bev [S, ny, nx, C], depth_logits [S, N, hf, wf, D]).
+        """
+        fpn, lss_feat = self._trunk(imgs)
+        lss_bev, radar_bev, depth_logits = self._bev_branches(
+            lss_feat, radar_points, radar_mask, radar_depth, radar_rcs,
+            img2lidar, train=self.train_mode)
         return fpn, lss_bev, radar_bev, depth_logits
 
     def decode_window(self, fpn_feats, lss_bev, radar_bev, lidar2img, time_diff,
@@ -231,32 +252,58 @@ class RaCFormer(nn.Module):
         """
         B, T, N, H, W, _ = imgs.shape
         P = radar_points.shape[2]
-
-        fpn, lss_bev, radar_bev, depth_logits = self.encode_frame(
-            imgs.reshape(B * T, N, H, W, 3),
-            radar_points.reshape(B * T, P, -1),
-            radar_mask.reshape(B * T, P),
-            radar_depth.reshape(B * T, N, H, W),
-            radar_rcs.reshape(B * T, N, H, W),
-            img2lidar.reshape(B * T, N, 4, 4),
-        )
         ny, nx = self.bev_size
-        fpn = [f.reshape(B, T, *f.shape[1:]) for f in fpn]
-        lss_bev = lss_bev.reshape(B, T, ny, nx, self.embed_dims)
-        radar_bev = radar_bev.reshape(B, T, ny, nx, self.embed_dims)
-        hf, wf = depth_logits.shape[2], depth_logits.shape[3]
-        depth_logits = depth_logits.reshape(B, T, N, hf, wf, self.depth_bins)[:, 0]
 
-        if self.train_mode:
-            # history frames contribute no parameter gradients through the
-            # BEV branches (reference: eval()+no_grad per frame > 0,
-            # `models/racformer.py:316-331`)
+        if self.train_mode and self.bn_frame0_only and T > 1:
+            # EXACT reference BN semantics (parity-debug,
+            # `models/racformer.py:316-331`): trunk over all frames batched
+            # (like the reference), then the BEV branches run frame 0 in
+            # train mode and frames 1..T-1 in eval mode under stop_gradient.
+            fpn, lss_feat = self._trunk(imgs.reshape(B * T, N, H, W, 3))
+            lss_feat = lss_feat.reshape(B, T, *lss_feat.shape[1:])
+            sel0 = lambda a: a[:, 0]
+            selr = lambda a: a[:, 1:].reshape(B * (T - 1), *a.shape[2:])
+            lss0, radar0, depth_logits = self._bev_branches(
+                sel0(lss_feat), sel0(radar_points), sel0(radar_mask),
+                sel0(radar_depth), sel0(radar_rcs), sel0(img2lidar),
+                train=True)
+            lssr, radarr, _ = self._bev_branches(
+                selr(lss_feat), selr(radar_points), selr(radar_mask),
+                selr(radar_depth), selr(radar_rcs), selr(img2lidar),
+                train=False)
             lss_bev = jnp.concatenate(
-                [lss_bev[:, :1], jax.lax.stop_gradient(lss_bev[:, 1:])], axis=1
-            )
+                [lss0[:, None], jax.lax.stop_gradient(
+                    lssr.reshape(B, T - 1, ny, nx, -1))], axis=1)
             radar_bev = jnp.concatenate(
-                [radar_bev[:, :1], jax.lax.stop_gradient(radar_bev[:, 1:])], axis=1
+                [radar0[:, None], jax.lax.stop_gradient(
+                    radarr.reshape(B, T - 1, ny, nx, -1))], axis=1)
+            fpn = [f.reshape(B, T, *f.shape[1:]) for f in fpn]
+        else:
+            fpn, lss_bev, radar_bev, depth_logits = self.encode_frame(
+                imgs.reshape(B * T, N, H, W, 3),
+                radar_points.reshape(B * T, P, -1),
+                radar_mask.reshape(B * T, P),
+                radar_depth.reshape(B * T, N, H, W),
+                radar_rcs.reshape(B * T, N, H, W),
+                img2lidar.reshape(B * T, N, 4, 4),
             )
+            fpn = [f.reshape(B, T, *f.shape[1:]) for f in fpn]
+            lss_bev = lss_bev.reshape(B, T, ny, nx, self.embed_dims)
+            radar_bev = radar_bev.reshape(B, T, ny, nx, self.embed_dims)
+            hf, wf = depth_logits.shape[2], depth_logits.shape[3]
+            depth_logits = depth_logits.reshape(
+                B, T, N, hf, wf, self.depth_bins)[:, 0]
+
+            if self.train_mode:
+                # history frames contribute no parameter gradients through
+                # the BEV branches (reference: eval()+no_grad per frame > 0,
+                # `models/racformer.py:316-331`)
+                lss_bev = jnp.concatenate(
+                    [lss_bev[:, :1], jax.lax.stop_gradient(lss_bev[:, 1:])],
+                    axis=1)
+                radar_bev = jnp.concatenate(
+                    [radar_bev[:, :1], jax.lax.stop_gradient(radar_bev[:, 1:])],
+                    axis=1)
 
         outs = self.decode_window(
             fpn, lss_bev, radar_bev, lidar2img, time_diff,

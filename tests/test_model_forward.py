@@ -92,3 +92,54 @@ def test_train_forward_with_dn(rng):
     assert outs["dn_cls_scores"].shape == (6, 1, S, 10)
     assert outs["all_cls_scores"].shape == (6, 1, 12, 10)
     assert np.isfinite(np.asarray(outs["dn_bbox_preds"])).all()
+
+
+@pytest.mark.slow
+def test_bn_frame0_only_reference_semantics(rng):
+    """`bn_frame0_only=True` reproduces the reference's train-mode BN rule
+    (`/root/reference/models/racformer.py:316-331`): the BEV branches'
+    updated batch statistics come from frame 0 ONLY, so perturbing history
+    frames' radar/depth inputs must not move them. The default batched path
+    pools stats over all T frames (the documented deviation this flag
+    bounds — docs/PARITY.md)."""
+    batch, gts = tiny_batch(rng)
+    pert = {k: np.copy(v) for k, v in batch.items()}
+    # history-frame (t>0) inputs only; imgs untouched so the trunk (whose
+    # BNs are frozen anyway) sees identical data
+    pert["radar_points"][:, 1:] *= 5.0
+    pert["radar_depth"][:, 1:] += 7.0
+    pert["radar_rcs"][:, 1:] *= -2.0
+
+    def new_stats(model, b):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            preprocess_images(b["imgs"]), *list(b.values())[1:], **gts,
+        )
+        _, mut = model.apply(
+            variables, preprocess_images(b["imgs"]), *list(b.values())[1:],
+            **gts,
+            rngs={"dn": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        return mut["batch_stats"]
+
+    ref = make_model(train=True, bn_frame0_only=True)
+    s0 = new_stats(ref, batch)
+    s1 = new_stats(ref, pert)
+    for key in ("radar_encoder", "img_lss_view_transformer"):
+        a = jax.tree_util.tree_leaves(s0[key])
+        b = jax.tree_util.tree_leaves(s1[key])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0,
+                                       err_msg=f"{key} stats moved")
+
+    default = make_model(train=True)
+    d0 = new_stats(default, batch)
+    d1 = new_stats(default, pert)
+    moved = max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(jax.tree_util.tree_leaves(d0["radar_encoder"]),
+                        jax.tree_util.tree_leaves(d1["radar_encoder"])))
+    assert moved > 1e-6  # the default path pools history frames into stats
