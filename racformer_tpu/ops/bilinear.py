@@ -263,9 +263,9 @@ def _patch_sample_fwd(batch_local, fused, view, y0p, x0p, wx, wy):
     return out, (fused, view, y0p, x0p, wx, wy)
 
 
-def _patch_sample_bwd(batch_local, res, g):
+def _patch_sample_bwd_impl(batch_local, res, g, pallas_regather):
     from .scatter_kernel import (
-        WIN, build_lerp_rows, chunk_layout, pad_chunks, scatter_patch_grads,
+        GROUP, WIN, chunk_layout, pad_chunks, scatter_patch_grads,
         scatter_patch_grads_sharded,
     )
 
@@ -289,11 +289,17 @@ def _patch_sample_bwd(batch_local, res, g):
     xb = (x0p // 8) * 8
     o = x0p - xb
     rowxb = jnp.stack([prep(row), prep(xb)], axis=2)
-    valid = (jnp.arange(kpad) < K).reshape(1, nch, chunk, 1)
-    amat = build_lerp_rows(prep(o), prep(wx.astype(jnp.float32))) * valid
+    # (offset + wx) packed into one float per point, [NG, GROUP]-shaped like
+    # the gather kernel's operand; the kernel builds the hat weights itself
+    # (the old XLA-prebuilt block-diagonal A-matrix was ~2 GB per call at
+    # flagship train shapes — the round-4 profile's dominant scatter cost)
+    of = prep(o.astype(jnp.float32) + wx.astype(jnp.float32)).reshape(
+        S, nch, chunk // GROUP, GROUP)
     # pad the K axis in place: the old transpose-pad-transpose around
     # pad_chunks staged two whole-tensor relayouts of [S, K, 128] (the
-    # round-3 profile's 2x72 ms bf16 re-layout fusions in this backward)
+    # round-3 profile's 2x72 ms bf16 re-layout fusions in this backward);
+    # padding rows are ZERO, which also silences the padding points'
+    # windows in the kernel
     gf = pad_chunks(gfused.reshape(S, K, C2), kpad, axis=1).reshape(
         S, nch, chunk, C2).astype(jnp.bfloat16)
 
@@ -303,18 +309,32 @@ def _patch_sample_bwd(batch_local, res, g):
     # plain call avoids the custom-partitioning indirection
     scatter = (scatter_patch_grads_sharded if batch_local
                else scatter_patch_grads)
-    gmap = scatter(rowxb, amat.astype(jnp.bfloat16), gf,
-                   J * R0, wpad, chunk, interpret)
+    gmap = scatter(rowxb, of, gf, J * R0, wpad, chunk, interpret)
     d_fused = gmap.reshape(S, J, R0, wpad, C2)[..., :Wp, :]
     d_fused = d_fused.reshape(NS, R0, Wp, C2).astype(fused.dtype)
 
-    # location gradients need the window values again: re-gather (cheap
-    # relative to the scatter; the reference backward reads the same corners,
-    # `msmv_sampling_backward.cu:75-101`)
-    patch = _gather_patch(fused, view, y0p, x0p, batch_local).astype(
-        jnp.float32)
-    v00, v10 = patch[:, 0, :C], patch[:, 0, C:]
-    v01, v11 = patch[:, 1, :C], patch[:, 1, C:]
+    # location gradients need the window values again (the reference
+    # backward reads the same corners, `msmv_sampling_backward.cu:75-101`)
+    if pallas_regather:
+        # two raw kernel calls at wx=0 / wx=1 reconstruct all four corners;
+        # the XLA patch re-gather below cost 72 ms/iteration per BEV site in
+        # the round-4 train profile (twisted-layout fusion), the kernel a
+        # few ms (docs/experiments/regather_ab.py)
+        from .gather_kernel import patch_sample_pallas_raw
+
+        resB = patch_sample_pallas_raw(
+            fused, view, y0p, x0p, jnp.float32(0.0), batch_local
+        ).astype(jnp.float32).reshape(-1, C2)
+        resC = patch_sample_pallas_raw(
+            fused, view, y0p, x0p, jnp.float32(1.0), batch_local
+        ).astype(jnp.float32).reshape(-1, C2)
+        v00, v10 = resB[:, :C], resB[:, C:]
+        v01, v11 = resC[:, :C], resC[:, C:]
+    else:
+        patch = _gather_patch(fused, view, y0p, x0p, batch_local).astype(
+            jnp.float32)
+        v00, v10 = patch[:, 0, :C], patch[:, 0, C:]
+        v01, v11 = patch[:, 1, :C], patch[:, 1, C:]
     wx32 = wx.astype(jnp.float32).reshape(-1, 1)
     d_wx = jnp.sum(g32 * ((v01 - v00) * (1 - wy32) + (v11 - v10) * wy32), -1)
     top = v00 * (1 - wx32) + v01 * wx32
@@ -325,6 +345,16 @@ def _patch_sample_bwd(batch_local, res, g):
     return (d_fused, zi(view), zi(y0p), zi(x0p),
             d_wx.reshape(wx.shape).astype(wx.dtype),
             d_wy.reshape(wy.shape).astype(wy.dtype))
+
+
+def _patch_sample_bwd(batch_local, res, g):
+    import os
+
+    # A/B override for the XLA-forward sites' backward re-gather (image
+    # radial sampling); default stays the XLA patch re-gather
+    env = os.environ.get("RACFORMER_IMG_PALLAS_REGATHER")
+    return _patch_sample_bwd_impl(batch_local, res, g,
+                                  pallas_regather=env == "1")
 
 
 _patch_sample.defvjp(_patch_sample_fwd, _patch_sample_bwd)
@@ -352,7 +382,13 @@ def _patch_sample_pallas_fwd(batch_local, fused, view, y0p, x0p, wx, wy):
     return out, (fused, view, y0p, x0p, wx, wy)
 
 
-_patch_sample_pallas.defvjp(_patch_sample_pallas_fwd, _patch_sample_bwd)
+def _patch_sample_pallas_bwd(batch_local, res, g):
+    # the Pallas-forward sites (BEV deform-attn) also re-gather through the
+    # kernel in the backward — measured decisive on the train step
+    return _patch_sample_bwd_impl(batch_local, res, g, pallas_regather=True)
+
+
+_patch_sample_pallas.defvjp(_patch_sample_pallas_fwd, _patch_sample_pallas_bwd)
 
 
 def bilinear_sample_views_nhwc(

@@ -6,14 +6,21 @@ step (6.7 s of 8.8 s; the reference's hand-written equivalent is the
 atomicAdd backward in `models/csrc/msmv_sampling/msmv_sampling_backward.cu:68-104`).
 This kernel keeps the whole per-slab gradient map RESIDENT IN VMEM (v5e has
 128 MB; measured in docs/experiments/pallas_scatter_v1.py at ~41 ns/patch,
-~112x XLA) and processes points in groups of 8:
+~112x XLA):
 
-  - one MXU expansion per group: upd[GROUP*WIN, 128] = A^T @ g, where A holds
-    the x-lerp weights as block-diagonal rows (prebuilt in XLA) and g is the
-    upstream cotangent expanded to the y-fused channel layout,
+  - per group of GROUP points, the x-lerp hat weights are built IN-KERNEL
+    from one packed (offset + wx) float per point — the same
+    `relu(1 - |col - of|)` idiom as the gather kernel. (The original design
+    prebuilt a block-diagonal A-matrix in XLA and MXU-expanded
+    `A^T @ g`; at flagship train shapes that operand is
+    [S, NCH, CHUNK, GROUP*WIN] bf16 ~ 2 GB PER CALL, written by an XLA
+    fusion and re-read by the kernel — the round-4 profile showed the two
+    BEV-site scatter calls at 69 ms each per decoder iteration, dominated
+    by exactly this staging.)
   - one read-modify-write of an 8-aligned [WIN, 128] window per point
-    (dynamic sublane starts must be 8-aligned on Mosaic, so windows start at
-    (x//8)*8 and A carries the in-window offset).
+    (dynamic sublane starts must be 8-aligned on Mosaic, so windows start
+    at (x//8)*8 and the hat weight carries the in-window offset), updated
+    with the point's [WIN, 1] x [1, LANES] outer product.
 
 Grid = (slabs, chunks); the gradient-map block persists across the chunk
 dimension and is zeroed at chunk 0.
@@ -37,33 +44,36 @@ GROUP = 64        # points per MXU expansion. Swept at the production BEV
 LANES = 128       # y-fused channels (2C); all sampling call sites have C=64
 
 
-def _kernel(rowxb_ref, a_ref, g_ref, out_ref):
+def _kernel(rowxb_ref, of_ref, g_ref, out_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[0, :, :, :] = jnp.zeros_like(out_ref[0])
 
-    chunk = a_ref.shape[2]
+    ng = of_ref.shape[2]
 
     def body(grp, _):
-        base = grp * GROUP
-        a = a_ref[0, 0, pl.ds(base, GROUP), :]          # [G, G*WIN] bf16
-        g = g_ref[0, 0, pl.ds(base, GROUP), :]          # [G, LANES] bf16
-        upd = jax.lax.dot_general(
-            a, g, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # [G*WIN, LANES] f32
+        base = pl.multiple_of(grp * GROUP, GROUP)
+        # hat weights, point-major in LANES: wT[c, j] puts (1-wx_j) at
+        # column o_j and wx_j at o_j+1, zero elsewhere (gather-kernel idiom;
+        # padding points ride along with g=0 so their windows add zeros)
+        of = of_ref[0, 0, pl.ds(grp, 1), :]                 # [1, G]
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (WIN, GROUP), 0).astype(jnp.float32)
+        wT = jnp.maximum(1.0 - jnp.abs(col - of), 0.0)      # [WIN, G]
+        gg = g_ref[0, 0, pl.ds(base, GROUP), :].astype(jnp.float32)
         for j in range(GROUP):
             row = rowxb_ref[0, 0, 0, base + j]
             xb = pl.multiple_of(rowxb_ref[0, 0, 1, base + j], 8)
-            out_ref[0, row, pl.ds(xb, WIN), :] += upd[j * WIN:(j + 1) * WIN, :]
+            upd = wT[:, j:j + 1] * gg[j:j + 1, :]           # [WIN, LANES]
+            out_ref[0, row, pl.ds(xb, WIN), :] += upd
         return 0
 
-    jax.lax.fori_loop(0, chunk // GROUP, body, 0)
+    jax.lax.fori_loop(0, ng, body, 0)
 
 
 def _scatter_pallas(
     rowxb: jax.Array,
-    amat: jax.Array,
+    of: jax.Array,
     gfused: jax.Array,
     rows: int,
     wpad: int,
@@ -76,21 +86,24 @@ def _scatter_pallas(
       rowxb: [S, NCH, 2, CHUNK] int32 — (row, window start) per point; the
         row index folds any sub-slab axis (head/view/level) that the gather
         folded into its leading index.
-      amat: [S, NCH, CHUNK, GROUP*WIN] bf16 — block-diagonal x-lerp rows
+      of: [S, NCH, NG, GROUP] float32 — in-window x offset + wx per point
+        (NG * GROUP = CHUNK; the [NG, GROUP] shape keeps the operand
+        T(8,128)-tileable like the gather kernel's).
+      gfused: [S, NCH, CHUNK, LANES] bf16 — cotangent in y-fused channels
         (zero rows for padding points).
-      gfused: [S, NCH, CHUNK, LANES] bf16 — cotangent in y-fused channels.
       rows, wpad: gradient-map extent per slab.
 
     Returns [S, rows, wpad, LANES] float32.
     """
     S, NCH = rowxb.shape[0], rowxb.shape[1]
+    ng = of.shape[2]
     return pl.pallas_call(
         _kernel,
         grid=(S, NCH),
         in_specs=[
             pl.BlockSpec((1, 1, 2, chunk), lambda s, ch: (s, ch, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, chunk, GROUP * WIN), lambda s, ch: (s, ch, 0, 0),
+            pl.BlockSpec((1, 1, ng, GROUP), lambda s, ch: (s, ch, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk, LANES), lambda s, ch: (s, ch, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -102,7 +115,7 @@ def _scatter_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(rowxb, amat, gfused)
+    )(rowxb, of, gfused)
 
 
 scatter_patch_grads = functools.partial(
@@ -196,22 +209,10 @@ def slab_partitioned(impl, static_argnums, sharding_rule,
 scatter_patch_grads_sharded = slab_partitioned(
     _scatter_pallas, static_argnums=(3, 4, 5, 6),
     # only the slab factor `s` may be sharded: chunks (n, k) accumulate into
-    # one output map and the window/lane factors are internal layout
-    sharding_rule="s n t k, s n k a, s n k l -> s r w l",
-    need_replication_factors=("n", "t", "k", "a", "l", "r", "w"),
+    # one output map and the group/lane factors are internal layout
+    sharding_rule="s n t k, s n g p, s n k l -> s r w l",
+    need_replication_factors=("n", "t", "k", "g", "p", "l", "r", "w"),
 )
-
-
-def build_lerp_rows(o: jax.Array, wx: jax.Array) -> jax.Array:
-    """Block-diagonal A rows: [..., CHUNK, GROUP*WIN] bf16 with (1-wx) at
-    group-local column p*WIN + o and wx at p*WIN + o + 1."""
-    chunk = o.shape[-1]
-    grp = (jnp.arange(chunk, dtype=jnp.int32) % GROUP)[..., None]
-    col = jnp.arange(GROUP * WIN, dtype=jnp.int32)
-    tgt = grp * WIN + o[..., None]
-    a = jnp.where(col == tgt, (1.0 - wx)[..., None], 0.0) + jnp.where(
-        col == tgt + 1, wx[..., None], 0.0)
-    return a.astype(jnp.bfloat16)
 
 
 def pad_chunks(x: jax.Array, kpad: int, fill=0, axis: int = -1):
