@@ -316,20 +316,17 @@ def _patch_sample_bwd_impl(batch_local, res, g, pallas_regather):
     # location gradients need the window values again (the reference
     # backward reads the same corners, `msmv_sampling_backward.cu:75-101`)
     if pallas_regather:
-        # two raw kernel calls at wx=0 / wx=1 reconstruct all four corners;
-        # the XLA patch re-gather below cost 72 ms/iteration per BEV site in
-        # the round-4 train profile (twisted-layout fusion), the kernel a
-        # few ms (docs/experiments/regather_ab.py)
-        from .gather_kernel import patch_sample_pallas_raw
+        # ONE corner-pair kernel call reconstructs all four corners (same
+        # window staging as the forward gather, two selections); the XLA
+        # patch re-gather below was the round-4 train profile's
+        # twisted-layout fusion hot spot
+        from .gather_kernel import patch_corners_pallas
 
-        resB = patch_sample_pallas_raw(
-            fused, view, y0p, x0p, jnp.float32(0.0), batch_local
-        ).astype(jnp.float32).reshape(-1, C2)
-        resC = patch_sample_pallas_raw(
-            fused, view, y0p, x0p, jnp.float32(1.0), batch_local
-        ).astype(jnp.float32).reshape(-1, C2)
-        v00, v10 = resB[:, :C], resB[:, C:]
-        v01, v11 = resC[:, :C], resC[:, C:]
+        corners = patch_corners_pallas(
+            fused, view, y0p, x0p, batch_local
+        ).astype(jnp.float32).reshape(-1, 2 * C2)
+        v00, v10 = corners[:, :C], corners[:, C:C2]
+        v01, v11 = corners[:, C2:C2 + C], corners[:, C2 + C:]
     else:
         patch = _gather_patch(fused, view, y0p, x0p, batch_local).astype(
             jnp.float32)

@@ -75,6 +75,113 @@ def _kernel(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
     jax.lax.fori_loop(0, ng, body, 0)
 
 
+def _kernel_corners(packed_ref, o_ref, val_ref, out_ref, scratch_ref):
+    """Like `_kernel` but returns BOTH x-columns un-lerped: out lanes
+    [0, LANES) = column o, [LANES, 2*LANES) = column o+1. One call replaces
+    the backward's two wx=0/wx=1 re-gathers (same window staging, two cheap
+    selections)."""
+    ng = packed_ref.shape[2]
+
+    def body(g, _):
+        base = pl.multiple_of(g * GROUP, GROUP)
+        for j in range(GROUP):
+            v = packed_ref[0, 0, g, j]
+            row = jax.lax.shift_right_logical(v, 16)
+            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
+            scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
+        o = o_ref[0, 0, pl.ds(g, 1), :]                      # [1, G] lanes
+        oc = jnp.transpose(o, (1, 0))                        # [G, 1] sublanes
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, WIN), 1).astype(jnp.float32)
+        w0 = jnp.maximum(1.0 - jnp.abs(col - oc), 0.0)       # 1 at col o
+        w1 = jnp.maximum(1.0 - jnp.abs(col - (oc + 1.0)), 0.0)
+        sc = scratch_ref[:, :, :]
+        acc0 = jnp.sum(sc * w0[:, :, None].astype(sc.dtype), axis=1)
+        acc1 = jnp.sum(sc * w1[:, :, None].astype(sc.dtype), axis=1)
+        out_ref[0, 0, pl.ds(base, GROUP), :LANES] = acc0.astype(out_ref.dtype)
+        out_ref[0, 0, pl.ds(base, GROUP), LANES:] = acc1.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+
+
+def _gather_corners_pallas(
+    packed: jax.Array,
+    o: jax.Array,
+    val: jax.Array,
+    chunk: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Un-lerped (column o, column o+1) row-pair fetches; operands as in
+    `_gather_pallas` except `o` carries the integer in-window offset only.
+    Returns [S, NCH, CHUNK, 2*LANES]."""
+    S, NCH, NG = packed.shape[0], packed.shape[1], packed.shape[2]
+    R, WPAD = val.shape[1], val.shape[2]
+    return pl.pallas_call(
+        _kernel_corners,
+        grid=(S, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, NG, GROUP), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NG, GROUP), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, WPAD, LANES), lambda s, ch: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, chunk, 2 * LANES),
+                               lambda s, ch: (s, ch, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, NCH, chunk, 2 * LANES), val.dtype),
+        scratch_shapes=[pltpu.VMEM((GROUP, WIN, LANES), val.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(packed, o, val)
+
+
+gather_patch_corners = functools.partial(
+    jax.jit, static_argnums=(3, 4))(_gather_corners_pallas)
+
+gather_patch_corners_sharded = slab_partitioned(
+    _gather_corners_pallas, static_argnums=(3, 4),
+    sharding_rule="s n g p, s n g p, s r w l -> s n c m",
+    need_replication_factors=("n", "g", "p", "r", "w", "l", "c", "m"),
+)
+
+
+def patch_corners_pallas(fused, view, y0p, x0p, batch_local=False):
+    """All four bilinear corners per point via ONE kernel call: returns
+    [*view.shape, 2*C2] with lanes [v00|v10] then [v01|v11] (y-fused pairs
+    for columns x0 and x0+1). Backward-only helper
+    (`bilinear._patch_sample_bwd_impl`)."""
+    NS, R0, Wp, C2 = fused.shape
+    assert C2 == LANES, C2
+    assert Wp % 8 == 0, Wp
+    S = view.shape[0]
+    J = NS // S
+    K = int(np.prod(view.shape[1:]))
+    chunk, nch, kpad = _chunk_layout(K)
+
+    val = fused.reshape(S, J * R0, Wp, C2)
+
+    def prep(a):
+        return pad_chunks(a.reshape(S, K), kpad).reshape(
+            S, nch, chunk // GROUP, GROUP)
+
+    row = (view.reshape(S, K) % J) * R0 + y0p.reshape(S, K)
+    xb = (x0p.reshape(S, K) // 8) * 8
+    o = (x0p.reshape(S, K) - xb).astype(jnp.float32)
+    packed = prep((row << 16) | xb)
+    of = prep(o)
+
+    interpret = jax.default_backend() == "cpu"
+    gather = (gather_patch_corners_sharded if batch_local
+              else gather_patch_corners)
+    res = gather(packed, of, val, chunk, interpret)
+    res = res.reshape(S, nch * chunk, 2 * C2)[:, :K]
+    return res.reshape(*view.shape, 2 * C2)
+
+
 def _gather_pallas(
     packed: jax.Array,
     of: jax.Array,
@@ -140,10 +247,9 @@ gather_patch_rows_sharded = slab_partitioned(
 def patch_sample_pallas_raw(fused, view, y0p, x0p, wx, batch_local=False):
     """Kernel gather + x-lerp WITHOUT the final y half-mix: returns the
     y-fused pair [..., 2C] (top-row x-lerp in the first C channels, bottom
-    row in the second). The custom-VJP backward uses this at wx=0 / wx=1 to
-    reconstruct all four corner values for the location gradients instead of
-    re-gathering through the slow XLA patch form (round-4 profile: the XLA
-    re-gather fusion cost 72 ms/iteration per BEV site in the train step).
+    row in the second). Forward-path helper for `patch_sample_pallas`; the
+    custom-VJP backward's corner reconstruction uses the dedicated
+    `patch_corners_pallas` (one un-lerped corner-pair call) instead.
     """
     NS, R0, Wp, C2 = fused.shape
     assert C2 == LANES, C2

@@ -143,9 +143,9 @@ def test_grad_feat_multichunk_tail(rng):
 
 def test_pallas_bwd_regather_matches_xla_bwd(rng):
     """The Pallas-forward path's backward reconstructs the four corner
-    values from two raw kernel calls (wx=0 / wx=1) instead of the XLA patch
-    re-gather (round-4 train profile: 72 ms/iteration per BEV site);
-    gradients must match the XLA backward exactly."""
+    values from ONE corner-pair kernel call (`patch_corners_pallas`) instead
+    of the XLA patch re-gather (round-4 train profile: 72 ms/iteration per
+    BEV site); gradients must match the XLA backward exactly."""
     import jax
     import jax.numpy as jnp
 
