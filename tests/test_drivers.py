@@ -284,3 +284,19 @@ def test_vod_train_then_val_roundtrip(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mAP3D_all" in r.stdout, r.stdout[-1500:]
+
+
+@pytest.mark.slow
+def test_val_driver_multistream(tmp_path):
+    """--streaming --streams 2: the lockstep multi-stream throughput
+    protocol runs end-to-end on the synthetic set (no scene metadata ->
+    contiguous split) and prints metrics for every sample."""
+    r = _run([
+        sys.executable, "val.py",
+        "--config", "racformer_tpu/configs/racformer_r50_nuimg_704x256_f8.py",
+        "--synthetic", "--streaming", "--streams", "2", "--max-samples", "4",
+        "--override", *TINY,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "eval: 4 samples" in r.stdout
+    assert '"NDS"' in r.stdout

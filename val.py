@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--streaming", action="store_true",
                    help="per-frame streaming eval with temporal feature cache")
+    p.add_argument("--streams", type=int, default=1,
+                   help="with --streaming: run N independent scene streams "
+                        "in lockstep (throughput protocol; batch axis shards "
+                        "over the data mesh on multi-chip hosts). 1 = the "
+                        "single-stream latency protocol")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1,
                    help="samples per chip; the effective batch is this times "
@@ -166,12 +171,32 @@ def main():
     t_total, n = 0.0, 0
     num = len(dataset)
 
-    if args.streaming:
+    if args.streaming and args.streams > 1:
+        # multi-stream throughput protocol: N independent scene streams in
+        # lockstep (per-stream in-graph scene resets); on a multi-chip host
+        # the stream axis shards over the data mesh, each chip running its
+        # own streams with batch-local gathers
+        from racformer_tpu.eval.streaming import (
+            StreamingEvaluator, run_multistream)
+
+        mesh = None
+        ndev = jax.device_count()
+        if ndev > 1 and args.streams % ndev == 0:
+            mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        elif ndev > 1:
+            print(f"warning: --streams {args.streams} not a multiple of the "
+                  f"device count {ndev}; running all streams on one device "
+                  f"(pass a multiple of {ndev} to shard over the mesh)")
+        ev = StreamingEvaluator(model, variables, eval_cfg=ecfg, mesh=mesh)
+        preds, gts, fps = run_multistream(ev, dataset, args.streams)
+    elif args.streaming:
         # per-frame feature-cache path (the reference's simple_test_online,
         # promoted to the primary FPS protocol)
-        from racformer_tpu.eval.streaming import StreamingEvaluator
+        from racformer_tpu.eval.streaming import (
+            StreamingEvaluator, prepare_frame, radar_maps_are_columns,
+            sample_timestamp)
 
-        # streaming is a SINGLE-device latency protocol: on a multi-chip
+        # single-stream is a SINGLE-device latency protocol: on a multi-chip
         # host the batch-local auto rule (device_count > 1) would switch the
         # patch gathers to the measured-slower batched/partitioned forms for
         # no benefit — pin them to the single-chip fast path unless the user
@@ -187,7 +212,7 @@ def main():
             # bleed across scenes (the reference keys its feature cache by
             # filename for the same reason, `models/racformer.py:503-556`)
             scene = s.get("scene", None)
-            ts_abs = float(s.get("timestamp", i * 0.5))
+            ts_abs = sample_timestamp(s, i)
             if scene is not None and scene != prev_scene:
                 if prev_scene is not None:
                     ev.reset()
@@ -195,35 +220,12 @@ def main():
                 scene_t0 = ts_abs
             elif scene is None and i == 0:
                 scene_t0 = ts_abs
-            imgs = s["imgs"][0]
-            if imgs.dtype != np.uint8 and imgs.max() > 1.0:
-                # raw 0-255 floats: the uint8 form is pipeline-native
-                # (transforms.py keeps uint8 through ida) and 4x cheaper to
-                # put on device
-                imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)
-            rd, rr = s["radar_depth"][0], s["radar_rcs"][0]
             if use_radar_cols is None:
-                # column-constancy is a static property of the rasterizer
-                # (depth_maps.radar_to_depth_rcs_maps writes whole columns);
-                # decide once on the first frame instead of scanning every
-                # dense map. Synthetic fixtures are not column-constant and
-                # keep the dense form.
-                use_radar_cols = bool(
-                    np.all(rd == rd[:, :1, :]) and np.all(rr == rr[:, :1, :]))
-            if use_radar_cols:
-                # row 0 carries the whole map — ~250x smaller upload
-                rd, rr = rd[:, 0, :], rr[:, 0, :]
-            frame = dict(
-                imgs=imgs, radar_points=s["radar_points"][0],
-                radar_mask=s["radar_mask"][0],
-                radar_depth=rd, radar_rcs=rr,
-                lidar2img=s["lidar2img"][0],
-                img2lidar=s["img2lidar"][0],
-                # rebase to the scene start IN FLOAT64 before the device
-                # float32 cast: epoch-seconds (~1.5e9) have a 128 s float32
-                # ULP, which would quantize every inter-frame time_diff to 0
-                timestamp=ts_abs - scene_t0,
-            )
+                use_radar_cols = radar_maps_are_columns(s)
+            # rebase to the scene start IN FLOAT64 before the device float32
+            # cast: epoch-seconds (~1.5e9) have a 128 s float32 ULP, which
+            # would quantize every inter-frame time_diff to 0
+            frame = prepare_frame(s, ts_abs - scene_t0, use_radar_cols)
             t0 = time.perf_counter()
             out = ev.step(frame, blocking=False)
             jax.block_until_ready(out)
@@ -251,7 +253,7 @@ def main():
                               batch_per_chip=max(1, int(args.batch_size)))
         preds, gts, fps = ev.run(variables, dataset)
 
-    if args.streaming:
+    if args.streaming and args.streams == 1:
         fps = n / t_total if t_total > 0 else 0.0
     print(f"eval: {num} samples, {fps:.2f} samples/s")
 
