@@ -38,6 +38,20 @@ def gather_gt(sample_batch: Dict, j: int) -> Optional[Dict]:
     return g
 
 
+def gather_gt_sample(s: Dict) -> Optional[Dict]:
+    """`gather_gt` for one UNCOLLATED sample dict — the single extraction
+    point for the per-sample eval loops (val.py single-stream, streaming
+    multi-stream), so the metrics GT schema has exactly two readers: this
+    and the collated `gather_gt`."""
+    if "gt_bboxes" not in s:
+        return None
+    g = dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"], mask=s["gt_mask"])
+    for src, dst in _GT_OPTIONAL:
+        if src in s:
+            g[dst] = s[src]
+    return g
+
+
 class OfflineEvaluator:
     """Jit-once, run-many sharded predict: train.py builds one of these and
     reuses it every eval epoch so the predict program compiles once."""
@@ -72,19 +86,32 @@ class OfflineEvaluator:
                 legacy_version=ecfg.get("legacy_version", "v1.0.0"),
             )
 
+        # outputs come back REPLICATED: the decoded boxes are tiny
+        # ([B, max_num, ~10]), so the in-graph all-gather is free, and a
+        # replicated jax.Array is addressable on EVERY host — `device_get`
+        # on a P('data')-sharded output would raise on a multi-host pod
+        # (it spans non-addressable devices), which would kill train.py's
+        # in-training eval at the first eval boundary.
         repl = NamedSharding(self.mesh, P())
+        self._repl = repl
         self._predict = jax.jit(
             predict,
             in_shardings=(repl, {k: self.shard for k in ARG_KEYS}),
-            out_shardings=self.shard,
+            out_shardings=repl,
         )
 
     def run(self, variables, dataset, max_samples: Optional[int] = None
             ) -> Tuple[List[Dict], List[Dict], float]:
         """Returns (preds, gts, samples_per_sec). `variables` may live on
-        device already (in-training eval passes the live replicated params)."""
+        device already (in-training eval passes the live replicated params).
+
+        Multi-host: every process loads ONLY its rows of each global batch
+        (assembled with `make_array_from_process_local_data`, the same row
+        layout as train's hostdata); predictions come back replicated and GT
+        rows are allgathered host-side, so EVERY process returns the full
+        (preds, gts) — the collective best-checkpoint save and the metrics
+        then agree across processes by construction."""
         import jax
-        import jax.numpy as jnp
 
         num = len(dataset)
         if max_samples:
@@ -93,22 +120,50 @@ class OfflineEvaluator:
         gts: List[Dict] = []
         t_total, n = 0.0, 0
         B = self.batch
+        n_proc = jax.process_count()
+        local = B // n_proc  # B = batch_per_chip * device_count, divisible
+        lo = jax.process_index() * local
+        if n_proc > 1:
+            # host-loaded checkpoints (val.py standalone) are process-local
+            # leaves; a multi-host jit needs GLOBAL replicated arrays. Every
+            # process holds the same checkpoint, so its local copy IS the
+            # replicated shard. Live train params are already global — pass
+            # them through untouched.
+            def _glob(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return x
+                return jax.make_array_from_process_local_data(
+                    self._repl, np.asarray(x))
+
+            variables = jax.tree.map(_glob, variables)
         for start in range(0, num, B):
-            idxs = list(range(start, min(start + B, num)))
-            pad = B - len(idxs)
-            sb = dataset.batch(idxs + [idxs[-1]] * pad)
-            b = {k: jax.device_put(jnp.asarray(sb[k]), self.shard)
-                 for k in ARG_KEYS}
+            valid = min(start + B, num) - start
+            idxs = list(range(start, start + valid))
+            idxs += [idxs[-1]] * (B - valid)
+            sb = dataset.batch(idxs[lo:lo + local])
+            b = {k: jax.make_array_from_process_local_data(
+                     self.shard, np.asarray(sb[k])) for k in ARG_KEYS}
             t0 = time.perf_counter()
             out = self._predict(variables, b)
             jax.block_until_ready(out)
             if start > 0:  # skip the compile chunk
                 t_total += time.perf_counter() - t0
-                n += len(idxs)
+                n += valid
             out = jax.device_get(out)
-            for j in range(len(idxs)):
+            gb = sb
+            if n_proc > 1 and "gt_bboxes" in sb:
+                from jax.experimental import multihost_utils
+
+                gkeys = [k for k in ("gt_bboxes", "gt_labels", "gt_mask",
+                                     *[s for s, _ in _GT_OPTIONAL]) if k in sb]
+                gb = multihost_utils.process_allgather(
+                    {k: np.asarray(sb[k]) for k in gkeys})
+                # [n_proc, local, ...] in process order -> global [B, ...]
+                gb = {k: np.asarray(v).reshape((-1,) + v.shape[2:])
+                      for k, v in gb.items()}
+            for j in range(valid):
                 preds.append({k: v[j] for k, v in out.items()})
-                g = gather_gt(sb, j)
+                g = gather_gt(gb, j)
                 if g is not None:
                     gts.append(g)
         return preds, gts, (n / t_total if t_total > 0 else 0.0)

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..model.racformer import RaCFormer, preprocess_images
 from .decode import decode_boxes
+from .offline import gather_gt_sample
 
 
 class StreamingEvaluator:
@@ -71,28 +72,12 @@ class StreamingEvaluator:
                 jnp.full((1, T), ts),
             )
 
-        def update_decode(v, cache, feats, lidar2img, ts):
-            # window shift (newest at index 0) fused with the decoder so no
-            # eager per-step device ops remain
-            fpn, lss, radar = feats
-            cfpn, clss, cradar, cl2i, cts = cache
-            T = self.T
-            fpn_w = [
-                jnp.concatenate([f[:, None], cf[:, : T - 1]], axis=1)
-                for f, cf in zip(fpn, cfpn)
-            ]
-            lss_w = jnp.concatenate([lss[:, None], clss[:, : T - 1]], axis=1)
-            radar_w = jnp.concatenate([radar[:, None], cradar[:, : T - 1]], axis=1)
-            l2i_w = jnp.concatenate([lidar2img[:, None], cl2i[:, : T - 1]], axis=1)
-            ts_w = jnp.concatenate([jnp.reshape(ts, (1, 1)), cts[:, : T - 1]], axis=1)
-            new_cache = (fpn_w, lss_w, radar_w, l2i_w, ts_w)
-
-            time_diff = (ts_w[:, :1] - ts_w).astype(jnp.float32)
-            outs = model.apply(
-                v, fpn_w, lss_w, radar_w, l2i_w, time_diff,
-                method=model.decode_window,
-            )
-            decoded = decode_boxes(
+        def decode(outs):
+            # the ONE box-decode configuration point: single-stream and
+            # multi-stream paths decode through this closure, so an eval_cfg
+            # knob (or a decode fix) cannot apply to one protocol and not
+            # the other
+            return decode_boxes(
                 outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1],
                 max_num=ecfg.get("max_num", 300),
                 score_threshold=ecfg.get("score_threshold", 0.05),
@@ -100,35 +85,23 @@ class StreamingEvaluator:
                     "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
                 legacy_version=ecfg.get("legacy_version", "v1.0.0"),
             )
-            return new_cache, decoded
 
-        def fused_step(v, cache, imgs, radar_points, radar_mask, radar_depth,
-                       radar_rcs, lidar2img, img2lidar, ts):
-            # steady-state path: ONE dispatch per frame (encode + window
-            # shift + decode + box decode); one host->device round-trip less
-            # than the two-program bootstrap path, same math by construction
-            feats = encode(v, imgs, radar_points, radar_mask, radar_depth,
-                           radar_rcs, img2lidar)
-            return update_decode(v, cache, feats, lidar2img, ts)
-
-        def fused_step_multi(v, cache, imgs, radar_points, radar_mask,
-                             radar_depth, radar_rcs, lidar2img, img2lidar,
-                             ts, reset):
-            # multi-stream form: B independent scene streams ride the batch
-            # axis; per-stream scene boundaries are handled IN-GRAPH by the
-            # `reset` mask — a resetting stream re-bootstraps its window from
-            # the new frame exactly as the single-stream bootstrap does
+        def shift_decode(v, cache, feats, lidar2img, ts, reset=None):
+            # window shift (newest at index 0) fused with the decoder so no
+            # eager per-step device ops remain. `ts` carries a leading [B]
+            # stream axis. With `reset`, per-stream scene boundaries are
+            # handled IN-GRAPH: a resetting stream re-bootstraps its window
+            # from the new frame exactly as the single-stream bootstrap does
             # (duplicate-first padding, `loaders/pipelines/loading.py:668-676`)
-            # so the B=1 lockstep matches `step()` bit-for-bit. The batch
-            # axis shards over a data mesh (each chip runs its own streams).
-            feats = encode(v, imgs, radar_points, radar_mask, radar_depth,
-                           radar_rcs, img2lidar)
+            # so the B=1 lockstep matches `step()` bit-for-bit.
             fpn, lss, radar = feats
             cfpn, clss, cradar, cl2i, cts = cache
             T = self.T
 
             def window(new, old):
                 shifted = jnp.concatenate([new[:, None], old[:, : T - 1]], 1)
+                if reset is None:
+                    return shifted
                 boot = jnp.repeat(new[:, None], T, axis=1)
                 r = reset.reshape((-1,) + (1,) * (shifted.ndim - 1))
                 return jnp.where(r, boot, shifted)
@@ -145,15 +118,30 @@ class StreamingEvaluator:
                 v, fpn_w, lss_w, radar_w, l2i_w, time_diff,
                 method=model.decode_window,
             )
-            decoded = decode_boxes(
-                outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1],
-                max_num=ecfg.get("max_num", 300),
-                score_threshold=ecfg.get("score_threshold", 0.05),
-                post_center_range=tuple(ecfg.get(
-                    "post_center_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))),
-                legacy_version=ecfg.get("legacy_version", "v1.0.0"),
-            )
-            return new_cache, decoded
+            return new_cache, decode(outs)
+
+        def update_decode(v, cache, feats, lidar2img, ts):
+            return shift_decode(v, cache, feats, lidar2img,
+                                jnp.reshape(ts, (1,)))
+
+        def fused_step(v, cache, imgs, radar_points, radar_mask, radar_depth,
+                       radar_rcs, lidar2img, img2lidar, ts):
+            # steady-state path: ONE dispatch per frame (encode + window
+            # shift + decode + box decode); one host->device round-trip less
+            # than the two-program bootstrap path, same math by construction
+            feats = encode(v, imgs, radar_points, radar_mask, radar_depth,
+                           radar_rcs, img2lidar)
+            return update_decode(v, cache, feats, lidar2img, ts)
+
+        def fused_step_multi(v, cache, imgs, radar_points, radar_mask,
+                             radar_depth, radar_rcs, lidar2img, img2lidar,
+                             ts, reset):
+            # multi-stream form: B independent scene streams ride the batch
+            # axis; the batch axis shards over a data mesh (each chip runs
+            # its own streams with batch-local gathers).
+            feats = encode(v, imgs, radar_points, radar_mask, radar_depth,
+                           radar_rcs, img2lidar)
+            return shift_decode(v, cache, feats, lidar2img, ts, reset)
 
         self._encode = jax.jit(encode)
         self._init_cache = jax.jit(init_cache)
@@ -366,6 +354,14 @@ def run_multistream(ev: StreamingEvaluator, dataset, streams: int):
 
     n = len(dataset)
     plan = _assign_streams(_scene_groups(dataset), streams)
+    # drop streams that were assigned zero scenes (more streams than scene
+    # groups, e.g. --streams 8 on a 2-scene mini split): an empty stream has
+    # no frame to re-feed and would crash the lockstep with a None frame
+    plan = [p for p in plan if p]
+    if len(plan) < streams:
+        print(f"streaming: only {len(plan)} scene groups — running "
+              f"{len(plan)} streams instead of the requested {streams}")
+        streams = len(plan)
     # flat per-stream (index, is_scene_start) tapes
     tapes = [[(i, j == 0) for g in sgroups for j, i in enumerate(g)]
              for sgroups in plan]
@@ -395,14 +391,8 @@ def run_multistream(ev: StreamingEvaluator, dataset, streams: int):
                 frames.append(f)
                 resets.append(is_start)
                 valid_idx.append(idx)
-                if "gt_bboxes" in s:
-                    g = dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
-                             mask=s["gt_mask"])
-                    for k in ("gt_attrs", "gt_num_pts"):
-                        if k in s:
-                            g[k[3:] if k.startswith("gt_") else k] = s[k]
-                    if "ego_xy" in s:
-                        g["ego_xy"] = s["ego_xy"]
+                g = gather_gt_sample(s)
+                if g is not None:
                     gts_by_idx[idx] = g
             else:
                 frames.append(last_frame[b])

@@ -241,12 +241,17 @@ class RaCFormerDecoder(nn.Module):
 
         pol_name = cfg.pop("remat_policy", None) or _os.environ.get(
             "RACFORMER_REMAT_POLICY", "full")
-        policy = {
+        policies = {
             "full": None,
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        }[pol_name]
+        }
+        if pol_name not in policies:
+            raise ValueError(
+                f"unknown decoder remat_policy {pol_name!r}; "
+                f"expected one of {sorted(policies)}")
+        policy = policies[pol_name]
         layer_cls = nn.remat(RaCFormerDecoderLayer, prevent_cse=False,
                              policy=policy)
         scan = nn.scan(

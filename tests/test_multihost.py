@@ -101,6 +101,79 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_EVAL_WORKER = textwrap.dedent("""
+    import sys, os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    import numpy as np, jax.numpy as jnp
+    from racformer_tpu.eval.offline import ARG_KEYS, OfflineEvaluator
+
+    # stub detector: the top class logit of every sample is its dataset
+    # index (smuggled through time_diff, which predict() passes untouched),
+    # so output row order proves the local-rows -> global assembly
+    class StubModel:
+        def apply(self, v, imgs, *rest):
+            val = rest[-1][:, 0]                       # time_diff = index
+            B = val.shape[0]
+            cls = jnp.full((1, B, 3, 2), -10.0)
+            cls = cls.at[0, :, 0, 0].set(val)
+            bbox = jnp.zeros((1, B, 3, 10))
+            return {"all_cls_scores": cls, "all_bbox_preds": bbox}
+
+    class DS:
+        def __len__(self):
+            return 5
+
+        def batch(self, idxs):
+            n, i = len(idxs), np.asarray(idxs, np.float32)
+            b = {k: np.zeros((n, 2), np.float32) for k in ARG_KEYS}
+            b["imgs"] = np.zeros((n, 1, 4, 4, 3), np.float32)
+            b["time_diff"] = np.tile(i[:, None], (1, 2))
+            b["gt_bboxes"] = np.tile(i[:, None, None], (1, 2, 9))
+            b["gt_labels"] = np.zeros((n, 2), np.int64)
+            b["gt_mask"] = np.ones((n, 2), bool)
+            return b
+
+    ev = OfflineEvaluator(StubModel())     # B = 1/chip x 2 devices = 2
+    preds, gts, _ = ev.run({"params": np.zeros((2,), np.float32)}, DS())
+    assert len(preds) == 5 and len(gts) == 5, (len(preds), len(gts))
+    for j in range(5):
+        # top score = sigmoid(index): rows came back in global order
+        want = 1.0 / (1.0 + np.exp(-j))
+        assert abs(float(preds[j]["scores"][0]) - want) < 1e-5, (j, preds[j])
+        assert np.all(gts[j]["bboxes"] == j), (j, gts[j])
+    print("EVALOK", pid, flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_offline_evaluator(tmp_path):
+    """The in-training eval path on a real 2-process run: per-process local
+    rows in, replicated predictions out (device_get works on BOTH hosts),
+    GT allgathered in global row order — the exact mechanics that crashed
+    multi-host training before eval/offline.py went process-local."""
+    script = tmp_path / "eval_worker.py"
+    script.write_text(_EVAL_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
+               PYTHONPATH=os.pathsep.join(sys.path))  # 1 CPU device/process
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    for i, out in enumerate(outs):
+        assert f"EVALOK {i}" in out, out
+
+
 @pytest.mark.slow
 def test_two_process_distributed_put_batch(tmp_path):
     script = tmp_path / "worker.py"

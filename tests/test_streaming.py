@@ -266,6 +266,15 @@ def test_run_multistream_dataset(rng):
     np.testing.assert_array_equal(gts[2]["labels"],
                                   np.asarray(ds[2]["gt_labels"]))
 
+    # more streams than scene groups: the runner must clamp (an empty
+    # stream has no frame to re-feed — this used to crash on a None frame)
+    preds4, gts4, _ = run_multistream(StreamingEvaluator(model, variables),
+                                      ds, streams=4)
+    assert len(preds4) == 5 and len(gts4) == 5
+    for i in range(5):
+        np.testing.assert_allclose(preds4[i]["scores"], ref[i]["scores"],
+                                   rtol=1e-4, atol=1e-4, err_msg=f"i={i}")
+
 
 @pytest.mark.slow
 def test_multistream_sharded_mesh(rng):

@@ -355,16 +355,25 @@ def main():
                    if isinstance(v, (int, float))}
         logger.log_eval(step + 1, scalars)
         score = scalars.get(best_key)
-        if score is not None and score > _eval["best"] and jax.process_index() == 0:
+        if score is not None and score > _eval["best"]:
+            # the orbax save is a COLLECTIVE (cross-process barriers sized
+            # to process_count) — every process must enter it, or process 0
+            # deadlocks waiting for peers that went back to training. The
+            # decision is cross-process consistent because OfflineEvaluator
+            # returns the full (preds, gts) on every process. Only the
+            # metrics.json side-file is rank-0 work.
             _eval["best"] = score
             if _eval["best_mgr"] is None:
                 _eval["best_mgr"] = CheckpointManager(
                     os.path.join(work_dir, "best"), max_keep=1, verify=False)
             _eval["best_mgr"].save(step + 1, jax.device_get(cur_state))
-            import json as _json
+            if jax.process_index() == 0:
+                import json as _json
 
-            with open(os.path.join(work_dir, "best", "metrics.json"), "w") as f:
-                _json.dump({"step": step + 1, best_key: score, **scalars}, f)
+                with open(os.path.join(work_dir, "best", "metrics.json"),
+                          "w") as f:
+                    _json.dump({"step": step + 1, best_key: score, **scalars},
+                               f)
 
     # async input pipeline: sample loading in worker threads, batch k+1
     # device_put while step k runs (the reference uses 4 DataLoader worker

@@ -192,6 +192,7 @@ def main():
     elif args.streaming:
         # per-frame feature-cache path (the reference's simple_test_online,
         # promoted to the primary FPS protocol)
+        from racformer_tpu.eval.offline import gather_gt_sample
         from racformer_tpu.eval.streaming import (
             StreamingEvaluator, prepare_frame, radar_maps_are_columns,
             sample_timestamp)
@@ -234,15 +235,8 @@ def main():
                 n += 1
             out = jax.device_get(out)
             preds.append({k: v[0] for k, v in out.items()})
-            if "gt_bboxes" in s:
-                g = dict(bboxes=s["gt_bboxes"], labels=s["gt_labels"],
-                         mask=s["gt_mask"])
-                if "gt_attrs" in s:
-                    g["attrs"] = s["gt_attrs"]
-                if "gt_num_pts" in s:
-                    g["num_pts"] = s["gt_num_pts"]
-                if "ego_xy" in s:
-                    g["ego_xy"] = s["ego_xy"]
+            g = gather_gt_sample(s)
+            if g is not None:
                 gts.append(g)
     else:
         # batched offline eval, sharded over the data mesh — shared with
