@@ -121,7 +121,10 @@ class OfflineEvaluator:
         t_total, n = 0.0, 0
         B = self.batch
         n_proc = jax.process_count()
-        local = B // n_proc  # B = batch_per_chip * device_count, divisible
+        # B = batch_per_chip * device_count; a non-divisible B would silently
+        # misalign the lo/local row slicing of preds against GT on a pod
+        assert B % n_proc == 0, (B, n_proc)
+        local = B // n_proc
         lo = jax.process_index() * local
         if n_proc > 1:
             # host-loaded checkpoints (val.py standalone) are process-local
@@ -158,8 +161,12 @@ class OfflineEvaluator:
                                      *[s for s, _ in _GT_OPTIONAL]) if k in sb]
                 gb = multihost_utils.process_allgather(
                     {k: np.asarray(sb[k]) for k in gkeys})
-                # [n_proc, local, ...] in process order -> global [B, ...]
+                # [n_proc, local, ...] in process order -> global [B, ...];
+                # cast back to the host dtype — the allgather routes through
+                # JAX, which silently downcasts 64-bit dtypes (e.g. int64
+                # gt_labels) without jax_enable_x64
                 gb = {k: np.asarray(v).reshape((-1,) + v.shape[2:])
+                         .astype(np.asarray(sb[k]).dtype)
                       for k, v in gb.items()}
             for j in range(valid):
                 preds.append({k: v[j] for k, v in out.items()})

@@ -358,6 +358,8 @@ def run_multistream(ev: StreamingEvaluator, dataset, streams: int):
     # groups, e.g. --streams 8 on a 2-scene mini split): an empty stream has
     # no frame to re-feed and would crash the lockstep with a None frame
     plan = [p for p in plan if p]
+    if n == 0 or not plan:
+        return [], [], 0.0
     if len(plan) < streams:
         print(f"streaming: only {len(plan)} scene groups — running "
               f"{len(plan)} streams instead of the requested {streams}")

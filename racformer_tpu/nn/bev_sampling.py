@@ -200,6 +200,11 @@ class BEVSampling(nn.Module):
         loc_x = loc_x.transpose(0, 1, 3, 2, 4)
         loc_y = loc_y.transpose(0, 1, 3, 2, 4)
 
+        # DUMP-equivalent capture of the BEV sampling locations (the image
+        # branch sows its `sample_points` the same way); also feeds the
+        # window-share-rate study (docs/experiments/window_share_study.py)
+        self.sow("intermediates", "bev_loc", (loc_x, loc_y))
+
         w = nn.Dense(M * 1 * D * P, dtype=jnp.float32, name="scale_weights")(query_feat)
         w = w.reshape(B, Q, M, 1, D * P)
         w = jax.nn.softmax(w, axis=-1)

@@ -44,42 +44,64 @@ def categorical_focal_loss(logits, labels, alpha=0.25, gamma=2.0):
     return -alpha * (1 - pt) ** gamma * logpt
 
 
-def depth_loss(depth_logits, gt_depth, d_lo=1.0, d_hi=65.0, num_bins=96,
-               downsample=16, weight=2.0):
-    """depth_logits: [B, N, Hf, Wf, D]; gt_depth: [B, N, H, W] sparse lidar
-    depth (0 = missing). Min-pool to stride, SID-quantize, focal on fg pixels."""
+def _depth_fg_labels(gt_depth, d_lo, d_hi, num_bins, downsample):
     B, N, H, W = gt_depth.shape
     d = jnp.where(gt_depth == 0.0, 1e5, gt_depth)
     d = d.reshape(B, N, H // downsample, downsample, W // downsample, downsample)
     d = jnp.min(d, axis=(3, 5))
     labels = depth_to_sid_index(d, d_lo, d_hi, num_bins)  # [B, N, Hf, Wf]
-    fg = labels < num_bins
+    return labels, labels < num_bins
+
+
+def depth_fg_count(gt_depth, d_lo=1.0, d_hi=65.0, num_bins=96, downsample=16):
+    """Number of foreground (lidar-hit) depth cells — the normalizer of
+    :func:`depth_loss`. Exposed so gradient accumulation can normalize each
+    microbatch by the FULL batch's count (exact full-batch equivalence)."""
+    _, fg = _depth_fg_labels(gt_depth, d_lo, d_hi, num_bins, downsample)
+    return jnp.sum(fg).astype(jnp.float32)
+
+
+def depth_loss(depth_logits, gt_depth, d_lo=1.0, d_hi=65.0, num_bins=96,
+               downsample=16, weight=2.0, fg_norm=None):
+    """depth_logits: [B, N, Hf, Wf, D]; gt_depth: [B, N, H, W] sparse lidar
+    depth (0 = missing). Min-pool to stride, SID-quantize, focal on fg pixels.
+
+    `fg_norm` overrides the foreground-count normalizer (already clamped and
+    scaled by the caller) — used by gradient accumulation to normalize every
+    microbatch by the full batch's count / accum_steps, which makes the
+    accumulated sum EXACTLY the fused full-batch loss."""
+    labels, fg = _depth_fg_labels(gt_depth, d_lo, d_hi, num_bins, downsample)
     safe_labels = jnp.where(fg, labels, 0)
     loss = categorical_focal_loss(depth_logits.astype(jnp.float32), safe_labels)
     loss = jnp.sum(jnp.where(fg, loss, 0.0))
-    return weight * loss / jnp.maximum(jnp.sum(fg), 1.0)
+    norm = jnp.maximum(jnp.sum(fg), 1.0) if fg_norm is None else fg_norm
+    return weight * loss / norm
 
 
 def _layer_loss(cls_scores, bbox_preds, labels, bbox_targets, bbox_weights,
-                num_pos, num_classes, cls_weight=2.0, bbox_weight=0.25):
-    """One decoder layer's focal + L1 (`racformer_head.py:374-427`)."""
+                norm, num_classes, cls_weight=2.0, bbox_weight=0.25):
+    """One decoder layer's focal + L1 (`racformer_head.py:374-427`).
+
+    `norm` is the already-clamped positive-count normalizer (callers clamp —
+    accumulation passes a fractional per-microbatch share that must NOT be
+    re-clamped here)."""
     cw = jnp.asarray(CODE_WEIGHTS)
-    cls_avg = jnp.maximum(num_pos, 1.0)
     loss_cls = cls_weight * jnp.sum(
         sigmoid_focal_loss(cls_scores.astype(jnp.float32), labels, num_classes)
-    ) / cls_avg
+    ) / norm
 
     tgt = jnp.nan_to_num(bbox_targets, nan=0.0, posinf=0.0, neginf=0.0)
     finite = jnp.isfinite(bbox_targets).all(axis=-1, keepdims=True)
     w = bbox_weights * cw * finite
     loss_bbox = bbox_weight * jnp.sum(
         jnp.abs(bbox_preds.astype(jnp.float32) - tgt) * w
-    ) / jnp.maximum(num_pos, 1.0)
+    ) / norm
     return jnp.nan_to_num(loss_cls), jnp.nan_to_num(loss_bbox)
 
 
 def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
-                   num_classes=10, with_match=False) -> Dict[str, jax.Array]:
+                   num_classes=10, with_match=False,
+                   pos_norm=None) -> Dict[str, jax.Array]:
     """Full head loss over all decoder layers (+ DN losses when present).
 
     gt_bboxes: [B, G, 9] raw (gravity-center) boxes; gt_labels: [B, G];
@@ -93,6 +115,15 @@ def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
     `pts_bbox_head.match_dict` the head never populates). Consumers:
     `train/hooks.py:MatchStatsHook`. Underscore keys are diagnostics, not
     losses — `make_train_step` routes them around the loss arithmetic.
+
+    `pos_norm` (already clamped by the caller) overrides the positive-count
+    normalizer of the set losses; the DN normalizer becomes
+    `pos_norm * ngroup` (dn_valid is exactly gt_mask tiled over the noise
+    groups, see `nn/head.py::_dn_prepare`). Gradient accumulation passes
+    `max(global_num_pos, 1) / accum_steps` so summing the microbatch losses
+    reproduces the fused full-batch loss EXACTLY — the reference's
+    per-worker `reduce_mean` normalization over the full batch
+    (`/root/reference/models/racformer_head.py:399-409`).
     """
     cls_scores = outs["all_cls_scores"]  # [L, B, Q, C]
     bbox_preds = outs["all_bbox_preds"]  # [L, B, Q, 10]
@@ -136,13 +167,14 @@ def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
     )(matched_q, safe_labels, gt_mask, gt_norm)
 
     num_pos = jnp.sum(gt_mask).astype(jnp.float32)  # per layer (same GT set)
+    set_norm = jnp.maximum(num_pos, 1.0) if pos_norm is None else pos_norm
 
     losses = {}
     total = 0.0
     for l in range(L):
         lc, lb = _layer_loss(
             cls_scores[l], bbox_preds[l], labels[l], bbox_targets[l],
-            bbox_weights[l], num_pos, num_classes,
+            bbox_weights[l], set_norm, num_classes,
         )
         key = "loss" if l == L - 1 else f"d{l}.loss"
         losses[f"{key}_cls"] = lc
@@ -160,17 +192,19 @@ def detection_loss(outs: Dict, gt_bboxes, gt_labels, gt_mask,
         tgt_labels = jnp.tile(safe_labels, (1, ngroup))  # [B, S]
         tgt_boxes = jnp.tile(gt_norm, (1, ngroup, 1))  # [B, S, 10]
         num_tgt = jnp.sum(dn_valid).astype(jnp.float32)
+        dn_norm = (jnp.maximum(num_tgt, 1.0) if pos_norm is None
+                   else pos_norm * ngroup)
 
         cw = jnp.asarray(CODE_WEIGHTS)
         for l in range(L):
             lbl = jnp.where(dn_valid, tgt_labels, num_classes)
             focal = sigmoid_focal_loss(dn_cls[l].astype(jnp.float32), lbl, num_classes)
-            lc = 2.0 * jnp.sum(jnp.where(dn_valid, focal, 0.0)) / jnp.maximum(num_tgt, 1.0)
+            lc = 2.0 * jnp.sum(jnp.where(dn_valid, focal, 0.0)) / dn_norm
             finite = jnp.isfinite(tgt_boxes).all(-1) & dn_valid
             t = jnp.nan_to_num(tgt_boxes)
             lb = 0.25 * jnp.sum(
                 jnp.abs(dn_box[l].astype(jnp.float32) - t) * cw * finite[..., None]
-            ) / jnp.maximum(num_tgt, 1.0)
+            ) / dn_norm
             key = "loss" if l == L - 1 else f"d{l}.loss"
             losses[f"{key}_cls_dn"] = jnp.nan_to_num(lc)
             losses[f"{key}_bbox_dn"] = jnp.nan_to_num(lb)

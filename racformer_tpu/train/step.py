@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..model.augment import grid_mask, photometric_distortion
 from ..model.racformer import RaCFormer, preprocess_images
-from .losses import depth_loss, detection_loss
+from .losses import depth_fg_count, depth_loss, detection_loss
 
 
 class TrainState(NamedTuple):
@@ -41,11 +41,13 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
     and accumulates gradients through a `lax.scan`, trading wall time for
     activation memory: the reference recipe's 2 samples/device
     (`configs/racformer_r50_nuimg_704x256_f8.py:295-308`) OOMs on a 16 GB
-    v5e in one pass, but fits as 2 x B=1 microbatches. Semantics note: each
-    microbatch normalizes its set losses by its own positive count (the
-    same per-worker normalization DDP has before its `reduce_mean`), and BN
-    batch stats update per microbatch — both standard accumulation
-    deviations, documented here rather than hidden. Under GSPMD the split
+    v5e in one pass, but fits as 2 x B=1 microbatches. Semantics note: the
+    set/DN/depth losses normalize by the FULL batch's positive/foreground
+    counts (computed before the scan and pre-divided by accum_steps), so the
+    accumulated loss and gradients match the fused full-batch step exactly —
+    the one remaining deviation is BN batch stats updating per microbatch
+    (bounded in docs/PARITY.md; `bn_frame0_only` reproduces the reference
+    exactly). Under GSPMD the split
     is interleaved (sample i -> microbatch i % accum_steps) so it stays
     sharding-local when the PER-CHIP batch is a multiple of accum_steps
     (measured: the contiguous split all-gathers the full batch to every
@@ -62,7 +64,8 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
     depth_cfg = depth_cfg or {}
     loss_scale = float(loss_scale or 0.0)
 
-    def loss_fn(params, batch_stats, batch, rng, depth_weight):
+    def loss_fn(params, batch_stats, batch, rng, depth_weight,
+                pos_norm=None, fg_norm=None):
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dn": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
         # device-side train augmentation (the reference's GPU-side color
@@ -88,13 +91,15 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
         losses = detection_loss(
             outs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_mask"],
             num_classes=model.num_classes, with_match=match_stats,
+            pos_norm=pos_norm,
         )
         # depth supervision on frame 0 (`models/racformer.py:377-378`);
         # depth_weight is a traced scalar so the curriculum hook
         # (2.0 -> 1.0 at epoch 18) never retraces the step
         if "gt_depth" in batch:
             ld = depth_loss(
-                outs["depth_logits"], batch["gt_depth"], **{**depth_cfg, "weight": 1.0}
+                outs["depth_logits"], batch["gt_depth"],
+                **{**depth_cfg, "weight": 1.0}, fg_norm=fg_norm,
             ) * depth_weight
             losses["loss_depth"] = ld
             losses["loss_total"] = losses["loss_total"] + ld
@@ -136,12 +141,27 @@ def make_train_step(model: RaCFormer, tx, depth_cfg=None, accum_steps: int = 1,
         )
         rngs = jax.random.split(rng, accum_steps)
 
+        # full-batch normalizers, pre-divided by accum_steps: each microbatch
+        # then contributes loss_terms / (global_norm / A), and the final
+        # 1/A mean makes the accumulated set/DN/depth losses EXACTLY the
+        # fused full-batch losses (the per-microbatch positive-count
+        # normalization was a measured 7.4% divergence at sparse-GT
+        # fixtures — docs/PARITY.md)
+        pos_norm = jnp.maximum(
+            jnp.sum(batch["gt_mask"]).astype(jnp.float32), 1.0) / accum_steps
+        fg_norm = None
+        if "gt_depth" in batch:
+            fg_cfg = {k: v for k, v in depth_cfg.items()
+                      if k in ("d_lo", "d_hi", "num_bins", "downsample")}
+            fg_norm = jnp.maximum(
+                depth_fg_count(batch["gt_depth"], **fg_cfg), 1.0) / accum_steps
+
         def body(carry, xs):
             stats, gsum, lsum = carry
             mb, r = xs
             (_, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, stats, mb, r, depth_weight)
+            )(params, stats, mb, r, depth_weight, pos_norm, fg_norm)
             # underscore keys are per-sample diagnostics (e.g. _matched_q
             # [L, Bm, G]) — stacked across microbatches via ys, not summed
             aux = {k: v for k, v in losses.items() if k.startswith("_")}
