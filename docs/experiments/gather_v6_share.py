@@ -51,7 +51,7 @@ def kernel_base(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
         for j in range(GROUP):
             v = packed_ref[0, 0, g, j]
             row = jax.lax.shift_right_logical(v, 16)
-            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
+            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0x7FFF), 8)
             scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
         of = of_ref[0, 0, pl.ds(g, 1), :]
         ofc = jnp.transpose(of, (1, 0))
@@ -75,7 +75,7 @@ def kernel_load(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
         for j in range(GROUP):
             v = packed_ref[0, 0, g, j]
             row = jax.lax.shift_right_logical(v, 16)
-            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
+            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0x7FFF), 8)
             scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
         out_ref[0, 0, pl.ds(base, GROUP), :] = scratch_ref[:, 0, :]
         return 0
@@ -94,7 +94,7 @@ def kernel_reduce(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
             for j in range(GROUP):
                 v = packed_ref[0, 0, 0, j]
                 row = jax.lax.shift_right_logical(v, 16)
-                xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
+                xb = pl.multiple_of(jax.lax.bitwise_and(v, 0x7FFF), 8)
                 scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
 
         of = of_ref[0, 0, pl.ds(g, 1), :]
@@ -111,37 +111,35 @@ def kernel_reduce(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
     jax.lax.fori_loop(0, ng, body, 0)
 
 
-def kernel_carry(packed_ref, of_ref, val_ref, out_ref, scratch_ref):
-    """Carried-window form: stage only when the (row, xb) key changes;
-    per-point weighted reduce; rows collected in scratch, one aligned write
-    per group. `of_ref` here is SMEM (per-point scalar read)."""
+def kernel_carry(packed_ref, of_ref, val_ref, out_ref, win_ref, acc_ref):
+    """Shared-window form: the packed word carries a precomputed NEW bit
+    (bit 15); staging into the single window slot is PREDICATED on it, so a
+    run of points sharing the (row, xb) key stages once. Per-point weighted
+    sublane reduce from the slot; rows collected in acc scratch, one aligned
+    write per group. `of_ref` is SMEM (per-point scalar read)."""
     ng = packed_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0).astype(jnp.float32)
 
-    def body(g, carry):
-        prev_key, cur = carry
+    def body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (WIN, 1), 0).astype(jnp.float32)
         for j in range(GROUP):
             v = packed_ref[0, 0, g, j]
             row = jax.lax.shift_right_logical(v, 16)
-            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
-            cur = jax.lax.cond(
-                v != prev_key,
-                lambda: val_ref[0, row, pl.ds(xb, WIN), :],
-                lambda: cur,
-            )
-            prev_key = v
+            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0x7FFF), 8)
+
+            @pl.when(jax.lax.bitwise_and(v, 0x8000) != 0)
+            def _():
+                win_ref[:, :] = val_ref[0, row, pl.ds(xb, WIN), :]
+
             o = of_ref[0, 0, g, j]
             w = jnp.maximum(1.0 - jnp.abs(col - o), 0.0)
-            acc = jnp.sum(cur * w.astype(cur.dtype), axis=0)
-            scratch_ref[j, :] = acc
-        out_ref[0, 0, pl.ds(base, GROUP), :] = scratch_ref[:, :].astype(
+            acc = jnp.sum(win_ref[:, :] * w.astype(win_ref.dtype), axis=0)
+            acc_ref[j, :] = acc
+        out_ref[0, 0, pl.ds(base, GROUP), :] = acc_ref[:, :].astype(
             out_ref.dtype)
-        return prev_key, cur
+        return 0
 
-    init = (jnp.int32(-1), jnp.zeros((WIN, LANES), val_ref.dtype))
-    jax.lax.fori_loop(0, ng, body, init)
+    jax.lax.fori_loop(0, ng, body, 0)
 
 
 def build_call(mode):
@@ -149,8 +147,9 @@ def build_call(mode):
             "reduce": kernel_reduce}.get(mode, kernel_carry)
     carry = kern is kernel_carry
     of_space = pltpu.SMEM if carry else pltpu.VMEM
-    scratch = (pltpu.VMEM((GROUP, LANES), jnp.bfloat16) if carry
-               else pltpu.VMEM((GROUP, WIN, LANES), jnp.bfloat16))
+    scratch = ([pltpu.VMEM((WIN, LANES), jnp.bfloat16),
+                pltpu.VMEM((GROUP, LANES), jnp.bfloat16)] if carry
+               else [pltpu.VMEM((GROUP, WIN, LANES), jnp.bfloat16)])
 
     def call(packed, of, val):
         return pl.pallas_call(
@@ -171,7 +170,7 @@ def build_call(mode):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((S, NCH, CHUNK, LANES),
                                            jnp.bfloat16),
-            scratch_shapes=[scratch],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024),
         )(packed, of, val)
@@ -185,7 +184,7 @@ def make_inputs(rng, share=0.0):
     x0 = rng.integers(0, W, (S, KPAD), dtype=np.int32)
     xb = (x0 // 8) * 8
     key = (row << 16) | xb
-    if share > 0:
+    if share > 0:  # NEW bit (bit 15) is added after run-length shaping
         keep = rng.uniform(size=(S, KPAD)) < share
         keep[:, 0] = False
         for s in range(S):
@@ -193,9 +192,14 @@ def make_inputs(rng, share=0.0):
             for j in range(1, KPAD):
                 if keep[s, j]:
                     ks[j] = ks[j - 1]
-    o = (x0 - xb).astype(np.float32) + rng.uniform(
+    # offsets must match the (possibly shared) key's window
+    xb_eff = key & 0x7FFF
+    x0_eff = np.minimum(xb_eff + (x0 % 8), W - 1)
+    o = (x0_eff - xb_eff).astype(np.float32) + rng.uniform(
         0, 1, (S, KPAD)).astype(np.float32)
-    packed = key.reshape(S, NCH, CHUNK // GROUP, GROUP)
+    new = np.ones_like(key)
+    new[:, 1:] = (key[:, 1:] != key[:, :-1]).astype(key.dtype)
+    packed = (key | (new << 15)).reshape(S, NCH, CHUNK // GROUP, GROUP)
     of = o.reshape(S, NCH, CHUNK // GROUP, GROUP)
     val = rng.standard_normal((S, R, WPAD, LANES)).astype(np.float32)
     return (jnp.asarray(packed), jnp.asarray(of),
@@ -220,7 +224,7 @@ def slope(fn, a, n1=8, n2=24):
 def check(out, key, o, val):
     out = np.asarray(out, np.float32).reshape(S, KPAD, LANES)
     i, j = 3, 777
-    row, xb = key[i, j] >> 16, key[i, j] & 0xFFFF
+    row, xb = key[i, j] >> 16, key[i, j] & 0x7FFF
     off = o[i, j]
     lo = int(np.floor(off))
     wx = off - lo

@@ -14,9 +14,15 @@ Usage: python docs/experiments/window_share_study.py
 """
 import sys
 
+import os
+
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("STUDY_CPU", "1") == "1":
+    # geometry is backend-independent and the flagship forward compiles in
+    # ~2 min on host CPU vs >10 min through the axon remote-compile tunnel
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -231,6 +231,7 @@ class NuScenesRadarDataset:
             # emitted (filled -1) so batch collation stays key-stable.
             gta = np.full((G,), -1, np.int32)
             gtp = np.full((G,), -1, np.int32)
+            gtr = np.full((G,), -1, np.int32)  # in_bikerack (-1 = unknown)
             anno = info.get("gt_anno")
             if anno and n:
                 from ..tools.gen_sweep_info import ATTRIBUTES
@@ -248,6 +249,8 @@ class NuScenesRadarDataset:
                         lp = anno[k].get("num_lidar_pts", -1)
                         rp = anno[k].get("num_radar_pts", -1)
                         gtp[j] = (lp + rp) if lp >= 0 and rp >= 0 else -1
+                        if "in_bikerack" in anno[k]:
+                            gtr[j] = int(bool(anno[k]["in_bikerack"]))
                         gt_vel[j] = anno[k].get("velocity", (0.0, 0.0))
                 if not has_vel:
                     # 7-dim pkl boxes: backfill velocity from the tables so
@@ -268,8 +271,16 @@ class NuScenesRadarDataset:
                 gtb[:n, : gt.shape[1]] = gt[:n, :9]
                 gtl[:n] = labels[:n]
                 gtm[:n] = True
+            # fixed-capacity bike-rack boxes (w <= 0 marks padding rows) so
+            # batch collation stays shape-stable; eval applies the devkit's
+            # prediction-side bike-rack filter from these
+            racks = np.asarray(info.get("bikeracks", np.zeros((0, 7))),
+                               np.float32).reshape(-1, 7)[:8]
+            rpad = np.zeros((8, 7), np.float32)
+            rpad[: len(racks)] = racks
             sample.update(gt_bboxes=gtb, gt_labels=gtl, gt_mask=gtm,
-                          gt_attrs=gta, gt_num_pts=gtp)
+                          gt_attrs=gta, gt_num_pts=gtp, gt_in_bikerack=gtr,
+                          gt_bikeracks=rpad)
             if self.training and "lidar_points" in info:
                 pts = np.asarray(info["lidar_points"], np.float32)
                 if len(pts) and self.bev_aug_cfg:

@@ -202,13 +202,17 @@ def nuscenes_metrics(
     — `gen_sweep_info` bakes `ego2lidar_xy` into infos) and removal of GT
     boxes with zero lidar+radar points when `num_pts` is present.
 
+    Bike-rack step (devkit `filter_eval_boxes`, implemented — round-5): the
+    devkit drops bicycle/motorcycle boxes (BOTH GT and predictions) whose
+    center lies inside any `static_object.bicycle_rack` annotation box of
+    the sample. GT carries per-box `in_bikerack` flags baked by
+    `gen_sweep_info.collect_gt` (-1 = unknown -> keep); predictions are
+    tested against the sample's `bikeracks` [K, 7] lidar-frame rack boxes
+    (padding rows have w <= 0).
+
     `gt_filter(sample_idx, boxes [G, 9], labels [G], gt_dict) -> keep [G]`
-    is a pluggable last-stage GT filter, applied after the range/points/
-    front filters — exactly where `filter_eval_boxes` runs its bike-rack
-    step (drop bicycle/motorcycle GT whose center falls on a bike-rack map
-    polygon). That filter needs the nuScenes map API, so when real map data
-    is present the caller plugs it in here; nothing else in the protocol
-    moves.
+    remains a pluggable last-stage GT filter applied after all protocol
+    filters (custom protocol studies).
     """
     num_classes = len(class_names)
     ranges = dict(CLASS_RANGE) if class_range is None else dict(class_range)
@@ -220,6 +224,28 @@ def nuscenes_metrics(
         r = np.asarray([ranges.get(class_names[int(l)], 1e9) for l in labels])
         return np.hypot(boxes[:, 0] - ego_xy[0], boxes[:, 1] - ego_xy[1]) <= r
 
+    bike_cls = {c for c, n in enumerate(class_names)
+                if n in ("bicycle", "motorcycle")}
+
+    def in_any_rack(boxes, racks):
+        """Center-in-rack-box test (devkit `points_in_box`); boxes are
+        bottom-center-z 9-dim predictions, racks gravity-center [K, 7]
+        (x, y, z, w, l, h, yaw); rack padding rows have w <= 0."""
+        racks = racks[racks[:, 3] > 0]
+        if not len(racks) or not len(boxes):
+            return np.zeros(len(boxes), bool)
+        p = boxes[:, :3].copy()
+        p[:, 2] += boxes[:, 5] / 2.0  # bottom -> gravity center
+        hit = np.zeros(len(boxes), bool)
+        for r in racks:
+            d = p - r[:3]
+            cs, sn = np.cos(-r[6]), np.sin(-r[6])
+            lx = cs * d[:, 0] - sn * d[:, 1]
+            ly = sn * d[:, 0] + cs * d[:, 1]
+            hit |= ((np.abs(lx) <= r[4] / 2) & (np.abs(ly) <= r[3] / 2)
+                    & (np.abs(d[:, 2]) <= r[5] / 2))
+        return hit
+
     for i, (p, g) in enumerate(zip(preds, gts)):
         ego_xy = np.asarray(g.get("ego_xy", (0.0, 0.0)), np.float64)
         valid = np.asarray(p["valid"], bool)
@@ -230,6 +256,11 @@ def nuscenes_metrics(
         keep = in_range(boxes, labels, ego_xy)
         if front_only:
             keep &= boxes[:, 0] > 0
+        if bike_cls and "bikeracks" in g and len(boxes):
+            racks = np.asarray(g["bikeracks"], np.float64).reshape(-1, 7)
+            is_bike = np.isin(labels, list(bike_cls))
+            if is_bike.any():
+                keep &= ~(is_bike & in_any_rack(boxes, racks))
         boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
         attrs = attrs[keep] if attrs is not None else None
         for j, (b, s, l) in enumerate(zip(boxes, scores, labels)):
@@ -244,6 +275,12 @@ def nuscenes_metrics(
         if "num_pts" in g:  # devkit: drop GT with KNOWN-zero lidar+radar
             # points (negative = unknown -> keep)
             keep &= np.asarray(g["num_pts"])[gmask] != 0
+        if bike_cls and "in_bikerack" in g:
+            # devkit bike-rack step: drop bicycle/motorcycle GT whose center
+            # sits in a bike-rack annotation box (flag baked by
+            # gen_sweep_info; -1 = unknown -> keep)
+            flag = np.asarray(g["in_bikerack"])[gmask]
+            keep &= ~(np.isin(glabels, list(bike_cls)) & (flag == 1))
         if front_only:
             keep &= gboxes[:, 0] > 0
         gboxes, glabels = gboxes[keep], glabels[keep]

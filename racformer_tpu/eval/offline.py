@@ -21,7 +21,8 @@ ARG_KEYS = ("imgs", "radar_points", "radar_mask", "radar_depth", "radar_rcs",
             "lidar2img", "img2lidar", "time_diff")
 
 _GT_OPTIONAL = (("gt_attrs", "attrs"), ("gt_num_pts", "num_pts"),
-                ("ego_xy", "ego_xy"))
+                ("ego_xy", "ego_xy"), ("gt_in_bikerack", "in_bikerack"),
+                ("gt_bikeracks", "bikeracks"))
 
 
 def gather_gt(sample_batch: Dict, j: int) -> Optional[Dict]:

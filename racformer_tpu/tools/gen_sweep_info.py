@@ -309,7 +309,48 @@ def collect_gt(tables: Tables, sample_token: str) -> List[Dict]:
             num_lidar_pts=int(a.get("num_lidar_pts", -1)),
             num_radar_pts=int(a.get("num_radar_pts", -1)),
         ))
+
+    # bike-rack protocol flag: the devkit's `filter_eval_boxes` drops
+    # bicycle/motorcycle boxes whose CENTER lies inside any
+    # `static_object.bicycle_rack` annotation box of the same sample
+    # (nuscenes-devkit eval/detection/loaders.py `points_in_box` over the
+    # rack boxes — NOT a map-expansion query, so it needs only the
+    # annotation tables this tool already parses). Rigid transforms
+    # preserve inclusion, so the lidar-frame test equals the devkit's
+    # global-frame one.
+    racks = [g for g in out if g["category"] == "static_object.bicycle_rack"]
+    for g in out:
+        g["in_bikerack"] = bool(racks) and point_in_any_box(
+            np.asarray(g["center"]), racks)
     return out
+
+
+def point_in_any_box(p: np.ndarray, boxes: List[Dict]) -> bool:
+    """Devkit `points_in_box` semantics for one point: inside the yaw-rotated
+    3D box (x extent = l/2, y = w/2, z = h/2 in the box frame)."""
+    for b in boxes:
+        c = np.asarray(b["center"], np.float64)
+        w, l, h = b["wlh"]
+        d = p - c
+        cs, sn = np.cos(-b["yaw"]), np.sin(-b["yaw"])
+        lx = cs * d[0] - sn * d[1]
+        ly = sn * d[0] + cs * d[1]
+        if abs(lx) <= l / 2 and abs(ly) <= w / 2 and abs(d[2]) <= h / 2:
+            return True
+    return False
+
+
+def bikerack_boxes(gt_anno: List[Dict]) -> np.ndarray:
+    """[K, 7] (x, y, z, w, l, h, yaw) lidar-frame bike-rack boxes from a
+    baked `gt_anno` record — the eval side needs them to apply the devkit's
+    bike-rack filter to PREDICTIONS as well as GT."""
+    racks = [g for g in gt_anno
+             if g.get("category") == "static_object.bicycle_rack"]
+    if not racks:
+        return np.zeros((0, 7), np.float32)
+    return np.asarray(
+        [list(g["center"]) + list(g["wlh"]) + [g["yaw"]] for g in racks],
+        np.float32)
 
 
 def main():
@@ -331,6 +372,9 @@ def main():
         info["radar_points"] = aggregate_radar(tables, tok, args.nsweeps)
         info["sweeps_cam"] = collect_camera_sweeps(tables, tok)
         info["gt_anno"] = collect_gt(tables, tok)
+        # lidar-frame bike-rack boxes for the devkit's prediction-side
+        # bike-rack filter (GT carries per-box `in_bikerack` flags)
+        info["bikeracks"] = bikerack_boxes(info["gt_anno"])
         info.setdefault("scene_token",
                         tables.sample.get(tok, {}).get("scene_token", ""))
         # ego origin in the lidar (box) frame: the devkit measures eval

@@ -171,3 +171,37 @@ def evaluate(gt_boxes_by_class, pred_boxes_by_class, class_names):
         tp_sum += max(0.0, 1.0 - min(1.0, v))
     out["NDS"] = float((5.0 * mean_ap + tp_sum) / 10.0)
     return out
+
+
+def points_in_box_oracle(box, px, py, pz):
+    """Devkit `points_in_box` for one point: local-frame extent test of the
+    yaw-rotated 3D box. box: dict(x, y, z, w, l, h, yaw)."""
+    dx, dy, dz = px - box["x"], py - box["y"], pz - box["z"]
+    c, s = np.cos(-box["yaw"]), np.sin(-box["yaw"])
+    lx = c * dx - s * dy
+    ly = s * dx + c * dy
+    return (abs(lx) <= box["l"] / 2 and abs(ly) <= box["w"] / 2
+            and abs(dz) <= box["h"] / 2)
+
+
+def filter_bikeracks(boxes_by_class, racks_by_sample, z_of):
+    """Devkit `filter_eval_boxes` bike-rack step, transliterated: drop
+    bicycle/motorcycle boxes whose (gravity) center lies inside any
+    `static_object.bicycle_rack` annotation box of the same sample. Applied
+    to BOTH GT and prediction box lists. `z_of(box)` supplies the gravity-
+    center z (the flat box model here is 2D-centered)."""
+    out = {}
+    for name, boxes in boxes_by_class.items():
+        if name not in ("bicycle", "motorcycle"):
+            out[name] = list(boxes)
+            continue
+        kept = []
+        for b in boxes:
+            in_rack = False
+            for rack in racks_by_sample.get(b["sample"], []):
+                if points_in_box_oracle(rack, b["x"], b["y"], z_of(b)):
+                    in_rack = True
+            if not in_rack:
+                kept.append(b)
+        out[name] = kept
+    return out

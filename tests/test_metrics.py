@@ -271,3 +271,94 @@ def test_pluggable_gt_filter_hook():
     # they belong to a class with zero GT, which the protocol skips, so mAP
     # is computed over the remaining classes only
     assert filtered["mAP"] > 0.9
+
+
+def test_bikerack_filter_matches_devkit_oracle():
+    """VERDICT r4 item 5: the devkit's bike-rack step (drop bicycle/
+    motorcycle GT AND predictions whose center lies in a
+    `static_object.bicycle_rack` annotation box) is implemented from baked
+    records — per-GT `in_bikerack` flags + per-sample `bikeracks` boxes —
+    and agrees with an independent oracle transliteration."""
+    from racformer_tpu.eval.metrics import CLASS_NAMES, nuscenes_metrics
+    from tests.devkit_oracle import evaluate as oracle_evaluate
+    from tests.devkit_oracle import filter_bikeracks
+
+    rng = np.random.default_rng(7)
+    names = ("bicycle", "motorcycle", "car")
+    name_to_label = {n: CLASS_NAMES.index(n) for n in names}
+
+    preds, gts = [], []
+    o_gt = {n: [] for n in names}
+    o_pred = {n: [] for n in names}
+    racks_by_sample = {}
+    for s in range(4):
+        # one rack box per sample at a known spot (gravity center z=1,
+        # h=2 so z in [0, 2] is inside)
+        rack = dict(x=5.0, y=5.0, z=1.0, w=4.0, l=6.0, h=2.0,
+                    yaw=float(rng.uniform(-np.pi, np.pi)))
+        racks_by_sample[s] = [rack]
+        G = int(rng.integers(4, 8))
+        gtb = np.zeros((G, 9), np.float32)
+        gtb[:, 0:2] = rng.uniform(-20, 20, size=(G, 2))
+        # force some GT into the rack
+        gtb[: G // 2, 0:2] = [5.0, 5.0]
+        gtb[:, 3:6] = rng.uniform(0.5, 2.0, size=(G, 3))
+        gtb[:, 6] = rng.uniform(-np.pi, np.pi, size=G)
+        gname = rng.choice(names, size=G)
+        glab = np.array([name_to_label[n] for n in gname])
+
+        K = int(rng.integers(3, 8))
+        pick = rng.integers(0, G, size=K)
+        pb = gtb[pick].copy()
+        pb[:, 0:2] += rng.normal(scale=0.8, size=(K, 2))
+        plab = glab[pick].copy()
+        pscore = rng.uniform(0.1, 1.0, size=K)
+
+        # production GT flag: center-in-rack, computed the tools way
+        from racformer_tpu.tools.gen_sweep_info import point_in_any_box
+
+        rack_rec = [dict(center=[rack["x"], rack["y"], rack["z"]],
+                         wlh=[rack["w"], rack["l"], rack["h"]],
+                         yaw=rack["yaw"])]
+        flags = np.array([
+            int(point_in_any_box(
+                np.array([gtb[j, 0], gtb[j, 1], gtb[j, 2]]), rack_rec))
+            for j in range(G)], np.int32)
+        rpad = np.zeros((8, 7), np.float32)
+        rpad[0] = [rack["x"], rack["y"], rack["z"], rack["w"], rack["l"],
+                   rack["h"], rack["yaw"]]
+
+        preds.append(dict(bboxes=pb, scores=pscore, labels=plab,
+                          valid=np.ones(K, bool)))
+        gts.append(dict(bboxes=gtb, labels=glab, mask=np.ones(G, bool),
+                        in_bikerack=flags, bikeracks=rpad))
+
+        for j in range(G):
+            o_gt[gname[j]].append(dict(
+                sample=s, x=gtb[j, 0], y=gtb[j, 1], w=gtb[j, 3], l=gtb[j, 4],
+                h=gtb[j, 5], yaw=gtb[j, 6], vx=0.0, vy=0.0, attr=-1,
+                z=float(gtb[j, 2])))
+        for j in range(K):
+            name = [n for n, l in name_to_label.items() if l == plab[j]][0]
+            o_pred[name].append(dict(
+                sample=s, x=pb[j, 0], y=pb[j, 1], w=pb[j, 3], l=pb[j, 4],
+                h=pb[j, 5], yaw=pb[j, 6], vx=0.0, vy=0.0, attr=-1,
+                score=float(pscore[j]), z=float(pb[j, 2])))
+
+    got = nuscenes_metrics(preds, gts, class_names=CLASS_NAMES)
+
+    # oracle: devkit-style filtering of both lists, then evaluate. GT z in
+    # the flat model is gravity-center; predictions are bottom-center
+    # (decode's convention), so gravity z = z + h/2.
+    o_gt_f = filter_bikeracks(o_gt, racks_by_sample, z_of=lambda b: b["z"])
+    o_pred_f = filter_bikeracks(o_pred, racks_by_sample,
+                                z_of=lambda b: b["z"] + b["h"] / 2)
+    want = oracle_evaluate(o_gt_f, o_pred_f, names)
+    for k in ("mAP", "NDS"):
+        np.testing.assert_allclose(got[k], want[k], atol=1e-9, err_msg=k)
+
+    # and the filter has teeth: without the baked records the result differs
+    gts_bare = [dict(bboxes=g["bboxes"], labels=g["labels"], mask=g["mask"])
+                for g in gts]
+    got_bare = nuscenes_metrics(preds, gts_bare, class_names=CLASS_NAMES)
+    assert abs(got_bare["mAP"] - got["mAP"]) > 1e-6

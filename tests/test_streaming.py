@@ -348,3 +348,92 @@ def test_step_batch_dict_form_matches_list(rng):
     for k in o_list:
         np.testing.assert_array_equal(np.asarray(o_list[k]),
                                       np.asarray(o_dict[k]), err_msg=k)
+
+
+@pytest.mark.slow
+def test_in_training_streaming_eval_matches_offline(rng):
+    """VERDICT r4 item 6: `evaluation.mode="streaming"` must produce the
+    same metrics as the offline evaluator when the dataset's sample windows
+    equal the scene history (each sample's sweep t is keyframe i-t,
+    duplicate-first padding — the real nuScenes window convention)."""
+    from racformer_tpu.eval.offline import OfflineEvaluator
+    from racformer_tpu.eval.streaming import run_multistream
+    from racformer_tpu.eval.metrics import nuscenes_metrics
+
+    model = make_model(train=False)
+    T = model.num_frames  # tiny model: 2
+    n = 4
+
+    # per-frame data; images integral so the streaming uint8 round-trip is
+    # exact vs the offline f32 batch
+    frames = []
+    for i in range(n):
+        b, g = tiny_batch(np.random.default_rng(300 + i), T=1)
+        f = {k: v[0, 0] for k, v in b.items() if k != "time_diff"}
+        f["imgs"] = np.round(np.clip(f["imgs"], 0, 255))
+        f.update(gt_bboxes=g["gt_bboxes"][0], gt_labels=g["gt_labels"][0],
+                 gt_mask=g["gt_mask"][0])
+        frames.append(f)
+    ts = [1e9 + 0.5 * i for i in range(n)]
+
+    class WindowedSceneDataset:
+        """One scene; sample i's window t = frame max(i-t, 0) — offline
+        windows therefore EQUAL the streaming scene history incl. the
+        duplicate-first bootstrap."""
+
+        infos = [{"scene_token": "a", "timestamp": ts[i]} for i in range(n)]
+
+        def __len__(self):
+            return n
+
+        def window(self, i):
+            return [frames[max(i - t, 0)] for t in range(T)]
+
+        def __getitem__(self, i):
+            w = self.window(i)
+            s = {k: np.stack([f[k] for f in w])
+                 for k in ("imgs", "radar_points", "radar_mask",
+                           "radar_depth", "radar_rcs", "lidar2img",
+                           "img2lidar")}
+            s["time_diff"] = np.asarray(
+                [ts[i] - ts[max(i - t, 0)] for t in range(T)], np.float32)
+            s.update(scene="a", timestamp=ts[i],
+                     gt_bboxes=frames[i]["gt_bboxes"],
+                     gt_labels=frames[i]["gt_labels"],
+                     gt_mask=frames[i]["gt_mask"])
+            return s
+
+        def batch(self, idxs):
+            ss = [self[i] for i in idxs]
+            return {k: np.stack([s[k] for s in ss]) for k in ss[0]
+                    if k not in ("scene", "timestamp")}
+
+    ds = WindowedSceneDataset()
+    b0 = ds.batch([0])
+    variables = model.init(
+        jax.random.PRNGKey(0), preprocess_images(jnp.asarray(b0["imgs"])),
+        *[jnp.asarray(b0[k]) for k in (
+            "radar_points", "radar_mask", "radar_depth", "radar_rcs",
+            "lidar2img", "img2lidar", "time_diff")],
+    )
+
+    preds_off, gts_off, _ = OfflineEvaluator(model).run(variables, ds)
+    ev = StreamingEvaluator(model, variables)
+    preds_st, gts_st, _ = run_multistream(ev, ds, streams=1)
+
+    assert len(preds_off) == len(preds_st) == n
+    for i in range(n):
+        np.testing.assert_allclose(
+            preds_st[i]["scores"], preds_off[i]["scores"], rtol=2e-3,
+            atol=2e-3, err_msg=f"i={i}")
+        np.testing.assert_allclose(
+            preds_st[i]["bboxes"], preds_off[i]["bboxes"], rtol=2e-2,
+            atol=2e-2, err_msg=f"i={i}")
+
+    # and the metric protocol agrees end-to-end (the dispatch train.py uses)
+    from racformer_tpu.eval.offline import detection_metrics
+
+    m_off = detection_metrics(preds_off, gts_off)
+    m_st = detection_metrics(preds_st, gts_st)
+    np.testing.assert_allclose(m_st["NDS"], m_off["NDS"], atol=1e-3)
+    np.testing.assert_allclose(m_st["mAP"], m_off["mAP"], atol=1e-3)

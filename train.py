@@ -298,6 +298,13 @@ def main():
     ev_cfg = dict(cfg.get("evaluation") or {})
     eval_interval = int(ev_cfg.get("interval", 2))
     eval_max = ev_cfg.get("max_samples")
+    # mode="streaming" routes the in-training eval through the streaming
+    # evaluator (1 frame of trunk compute per sample ~= 8x cheaper than the
+    # offline full-window recompute; windows come from scene history instead
+    # of the sample's own sweeps, so its metrics are an internally consistent
+    # training signal, not the reference's offline protocol numbers).
+    # Single-controller protocol: multi-process runs fall back to offline.
+    eval_mode = str(ev_cfg.get("mode", "offline"))
     best_key = ev_cfg.get(
         "save_best", "mAP3D_all" if cfg.get("dataset_type") == "vod" else "NDS")
     _eval = {"runner": None, "dataset": None, "best": float("-inf"),
@@ -336,14 +343,36 @@ def main():
         _eval["last_step"] = step
         from racformer_tpu.eval.offline import OfflineEvaluator, detection_metrics
 
+        streaming = eval_mode == "streaming" and jax.process_count() == 1
+        if eval_mode == "streaming" and not streaming and step == 0:
+            print("evaluation.mode=streaming is a single-controller "
+                  "protocol; multi-process run falls back to offline")
+        variables = {"params": cur_state.params,
+                     "batch_stats": cur_state.batch_stats}
         if _eval["runner"] is None:
             eval_model = RaCFormer(**model_cfg, train_mode=False)
-            _eval["runner"] = OfflineEvaluator(
-                eval_model, eval_cfg=dict(cfg.get("eval_cfg", {})))
             _eval["dataset"] = _build_val_dataset()
-        preds, gts_v, _ = _eval["runner"].run(
-            {"params": cur_state.params, "batch_stats": cur_state.batch_stats},
-            _eval["dataset"], max_samples=eval_max)
+            if streaming:
+                from racformer_tpu.eval.streaming import StreamingEvaluator
+
+                _eval["runner"] = StreamingEvaluator(
+                    eval_model, variables,
+                    eval_cfg=dict(cfg.get("eval_cfg", {})))
+            else:
+                _eval["runner"] = OfflineEvaluator(
+                    eval_model, eval_cfg=dict(cfg.get("eval_cfg", {})))
+        if streaming:
+            from racformer_tpu.eval.streaming import run_multistream
+
+            # variables are a jitted-fn ARGUMENT, so updating the attribute
+            # reuses the compiled step across evals (no retrace)
+            _eval["runner"].variables = variables
+            preds, gts_v, _ = run_multistream(
+                _eval["runner"], _eval["dataset"],
+                streams=int(ev_cfg.get("streams", 1)))
+        else:
+            preds, gts_v, _ = _eval["runner"].run(
+                variables, _eval["dataset"], max_samples=eval_max)
         if not gts_v:
             return
         metrics = detection_metrics(
