@@ -984,3 +984,155 @@ class TorchRaCFormer(nn.Module):
         dlog = depth_logits.reshape(B, T, N, D, hf, wf)[:, 0]
         return dict(all_cls_scores=cls_scores, all_bbox_preds=bbox_preds,
                     depth_logits=dlog, lss_bev=lss_bev, radar_bev=radar_bev)
+
+
+# ---------------------------------------------------------------------------
+# Training-loss mirror: the reference head loss restated in torch
+# (`/root/reference/models/racformer_head.py:249-485`, polar assigner
+# `models/bbox/assigners/polar_hungarian_assigner_3d.py:29-97`, match costs
+# `models/bbox/match_costs/match_cost.py`, depth loss
+# `models/necks/view_transformer_racformer.py:593-678`). Used by the
+# flagship-shape train-mode golden to validate the flax loss stack
+# (`racformer_tpu/train/losses.py`) at production shapes.
+# ---------------------------------------------------------------------------
+
+CODE_WEIGHTS = (2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+
+
+def t_normalize_bbox(b):
+    """models/bbox/utils.py:7-23 (10-dim code, log sizes, sin/cos yaw)."""
+    return torch.cat([
+        b[..., 0:2], b[..., 3:5].log(), b[..., 2:3], b[..., 5:6].log(),
+        b[..., 6:7].sin(), b[..., 6:7].cos(), b[..., 7:9]], dim=-1)
+
+
+def t_sigmoid_focal_loss(logits, labels, num_classes, alpha=0.25, gamma=2.0):
+    """mmdet sigmoid FocalLoss per element, summed over classes
+    (labels == num_classes is background: all-negative row)."""
+    y = F.one_hot(labels.clamp(max=num_classes),
+                  num_classes + 1)[..., :num_classes].float()
+    p = logits.sigmoid()
+    ce_pos = F.softplus(-logits)
+    ce_neg = F.softplus(logits)
+    loss = (alpha * y * (1 - p).pow(gamma) * ce_pos
+            + (1 - alpha) * (1 - y) * p.pow(gamma) * ce_neg)
+    return loss.sum(-1)
+
+
+def t_match_cost(cls_logits, bbox_pred, gt9, gt_labels,
+                 code_weights=CODE_WEIGHTS, eps=1e-12):
+    """Polar assigner cost (cls focal w2 + code-weighted L1 w0.25 + ThetaL1
+    w3), incl. the reference quirk of feeding CODE-WEIGHTED boxes into the
+    theta cost (the x2 scale cancels in atan2)."""
+    p = cls_logits.sigmoid()
+    pos = -(p + eps).log() * 0.25 * (1 - p).pow(2)
+    neg = -(1 - p + eps).log() * 0.75 * p.pow(2)
+    cls_cost = (pos - neg)[:, gt_labels] * 2.0
+
+    cw = torch.tensor(code_weights)
+    pw = bbox_pred * cw
+    gw = t_normalize_bbox(gt9) * cw
+    reg_cost = torch.cdist(pw, gw, p=1) * 0.25
+
+    # ThetaL1Cost (match_cost.py:29-66): xy2theta_d on ((v*2)+51.2)/102.4-
+    # normalized centers; the +/-51.2 cancel so theta = atan2(y, x) / 2pi
+    tp = torch.remainder(torch.atan2(pw[:, 1], pw[:, 0]) + TWO_PI, TWO_PI) / TWO_PI
+    tg = torch.remainder(torch.atan2(gw[:, 1], gw[:, 0]) + TWO_PI, TWO_PI) / TWO_PI
+    dt = torch.cdist(tp[:, None], tg[:, None], p=1)
+    theta_cost = (torch.remainder(dt + 0.5, 1.0) - 0.5).abs() * 3.0
+
+    cost = cls_cost + reg_cost + theta_cost
+    return torch.nan_to_num(cost, nan=100.0, posinf=100.0, neginf=-100.0)
+
+
+def mirror_detection_losses(all_cls, all_bbox, gt_bboxes, gt_labels, gt_mask,
+                            dn_cls=None, dn_bbox=None, dn_valid=None,
+                            num_classes=10):
+    """Reference `RaCFormer_head.loss` + `calc_dn_loss` over PADDED batch GT
+    (gt_mask selects real boxes). all_cls: [L, B, Q, C]; all_bbox:
+    [L, B, Q, 10]; gt_bboxes: [B, G, 9] raw gravity-center boxes. Returns
+    the reference's loss dict keys."""
+    from scipy.optimize import linear_sum_assignment
+
+    L, B, Q, C = all_cls.shape
+    cw = torch.tensor(CODE_WEIGHTS)
+    losses = {}
+    for l in range(L):
+        total_pos = 0
+        cls_sum = torch.zeros(())
+        bbox_sum = torch.zeros(())
+        cls_rows = []
+        lbl_rows = []
+        for b in range(B):
+            m = gt_mask[b].bool()
+            g9 = gt_bboxes[b][m]
+            gl = gt_labels[b][m].long()
+            labels = torch.full((Q,), num_classes, dtype=torch.long)
+            tgt = torch.zeros(Q, 10)
+            wpos = torch.zeros(Q, 1)
+            if len(g9):
+                cost = t_match_cost(all_cls[l, b], all_bbox[l, b], g9, gl)
+                rows, cols = linear_sum_assignment(cost.numpy())
+                labels[rows] = gl[cols]
+                tgt[rows] = t_normalize_bbox(g9)[cols]
+                wpos[rows] = 1.0
+                total_pos += len(rows)
+            cls_rows.append(all_cls[l, b])
+            lbl_rows.append(labels)
+            notnan = torch.isfinite(tgt).all(-1, keepdim=True)
+            t_ = torch.nan_to_num(tgt)
+            bbox_sum = bbox_sum + (
+                (all_bbox[l, b] - t_).abs() * cw * wpos * notnan).sum()
+        avg = max(float(total_pos), 1.0)
+        cls_sum = t_sigmoid_focal_loss(
+            torch.cat(cls_rows), torch.cat(lbl_rows), num_classes).sum()
+        key = "loss" if l == L - 1 else f"d{l}.loss"
+        losses[f"{key}_cls"] = torch.nan_to_num(2.0 * cls_sum / avg)
+        losses[f"{key}_bbox"] = torch.nan_to_num(0.25 * bbox_sum / avg)
+
+    if dn_cls is not None:
+        S = dn_valid.shape[1]
+        G = gt_bboxes.shape[1]
+        ngroup = S // G
+        valid = dn_valid.bool()
+        num_tgt = max(float(valid.sum()), 1.0)
+        tgt_lbl = gt_labels.long().repeat(1, ngroup)
+        tgt_box = t_normalize_bbox(gt_bboxes).repeat(1, ngroup, 1)
+        for l in range(L):
+            lbl = torch.where(valid, tgt_lbl, torch.full_like(tgt_lbl,
+                                                              num_classes))
+            focal = t_sigmoid_focal_loss(dn_cls[l], lbl, num_classes)
+            lc = 2.0 * torch.where(valid, focal,
+                                   torch.zeros_like(focal)).sum() / num_tgt
+            notnan = torch.isfinite(tgt_box).all(-1) & valid
+            t_ = torch.nan_to_num(tgt_box)
+            lb = 0.25 * ((dn_bbox[l] - t_).abs() * cw
+                         * notnan[..., None]).sum() / num_tgt
+            key = "loss" if l == L - 1 else f"d{l}.loss"
+            losses[f"{key}_cls_dn"] = torch.nan_to_num(lc)
+            losses[f"{key}_bbox_dn"] = torch.nan_to_num(lb)
+    return losses
+
+
+def mirror_depth_loss(depth_logits, gt_depth, d_lo=1.0, d_hi=65.0,
+                      num_bins=96, downsample=16, weight=2.0):
+    """`get_depth_loss` (view_transformer_racformer.py:593-631,665-678):
+    min-pool (zeros -> 1e5), quadratic SID index, kornia focal on fg.
+    depth_logits: [B, N, Hf, Wf, D]; gt_depth: [B, N, H, W]."""
+    B, N, H, W = gt_depth.shape
+    d = gt_depth.reshape(B * N, H // downsample, downsample,
+                         W // downsample, downsample)
+    d = torch.where(d == 0.0, torch.full_like(d, 1e5), d)
+    d = d.amin(dim=(2, 4))
+    bin_size = 2 * (d_hi - d_lo) / (num_bins * (1 + num_bins))
+    idx = -0.5 + 0.5 * torch.sqrt(1 + 8 * (d - d_lo) / bin_size)
+    bad = (idx < 0) | (idx > num_bins) | ~torch.isfinite(idx)
+    idx = torch.where(bad, torch.full_like(idx, num_bins), idx).long()
+    fg = idx < num_bins
+    logits = depth_logits.reshape(B * N, *depth_logits.shape[2:])[fg]
+    labels = idx[fg]
+    logp = F.log_softmax(logits, dim=-1)
+    pt = logp.exp().gather(1, labels[:, None])[:, 0]
+    logpt = logp.gather(1, labels[:, None])[:, 0]
+    focal = -0.25 * (1 - pt).pow(2.0) * logpt
+    return weight * focal.sum() / max(1.0, float(fg.sum()))
