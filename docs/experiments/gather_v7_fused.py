@@ -89,8 +89,11 @@ def make_kernel(L):
                 wy = jnp.transpose(aux_ref[0, 0, l, 1, pl.ds(g, 1), :], (1, 0))
                 yw = (1.0 - wy) + lane_hi * (2.0 * wy - 1.0)
                 total = total + acc * yw
+            # roll-by-64 add leaves the y-mixed value DUPLICATED in both
+            # lane halves -> full aligned 128-lane store (a 64-lane block
+            # would be a masked half-tile write); consumers read lanes [:64]
             mixed = total + pltpu.roll(total, shift=64, axis=1)
-            out_ref[0, 0, pl.ds(base, GROUP), :] = mixed[:, :64].astype(
+            out_ref[0, 0, pl.ds(base, GROUP), :] = mixed.astype(
                 out_ref.dtype)
             return 0
 
@@ -119,10 +122,11 @@ def build_fused(levels, S, NCH, CHUNK):
                              memory_space=pltpu.VMEM)
                 for (R, Wp, _, _) in levels
             ],
-            out_specs=pl.BlockSpec((1, 1, CHUNK, 64),
+            out_specs=pl.BlockSpec((1, 1, CHUNK, LANES),
                                    lambda s, ch: (s, ch, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((S, NCH, CHUNK, 64), jnp.bfloat16),
+            out_shape=jax.ShapeDtypeStruct((S, NCH, CHUNK, LANES),
+                                           jnp.bfloat16),
             scratch_shapes=[pltpu.VMEM((GROUP, WIN, LANES), jnp.bfloat16)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024),
@@ -218,6 +222,8 @@ def ref_point(checks, s, k):
 
 def main():
     rng = np.random.default_rng(0)
+    if "img_fold" in os.environ.get("CASES", ""):
+        run_fold("img", IMG_LEVELS, 32, 10800, np.random.default_rng(1))
     for name, levels, S, K in (("img", IMG_LEVELS, 32, 10800),
                                ("bev", BEV_LEVELS, 8, 72000)):
         if name not in os.environ.get("CASES", "img,bev").split(","):
@@ -240,6 +246,157 @@ def main():
             except Exception as e:
                 print(f"{name} {mode}: FAILED {type(e).__name__}: "
                       f"{str(e)[:400]}")
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# v7b "fold": ONE single-map kernel for all levels. The per-level maps are
+# row-CONCATENATED (level offset folded into the packed row index on the XLA
+# side — free), points are level-INTERLEAVED (l fastest), and the kernel
+# sums each FOLD consecutive points after the weighted reduce via a sublane
+# reshape-sum. Full 128-point unroll (the partial-unroll fori costs +45%,
+# measured above) with base-kernel compile cost, epilogue gone entirely.
+# ---------------------------------------------------------------------------
+FOLD = 4
+
+
+def kernel_fold(packed_ref, of_ref, wy_ref, wl_ref, val_ref, out_ref,
+                scratch_ref):
+    ng = packed_ref.shape[2]
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, WIN), 1).astype(jnp.float32)
+    lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1)
+               // 64).astype(jnp.float32)
+    GO = GROUP // FOLD
+
+    def body(g, _):
+        base = pl.multiple_of(g * GO, GO)
+        for j in range(GROUP):
+            v = packed_ref[0, 0, g, j]
+            row = jax.lax.shift_right_logical(v, 16)
+            xb = pl.multiple_of(jax.lax.bitwise_and(v, 0x7FFF), 8)
+            scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
+        of = jnp.transpose(of_ref[0, 0, pl.ds(g, 1), :], (1, 0))
+        wl = jnp.transpose(wl_ref[0, 0, pl.ds(g, 1), :], (1, 0))
+        hat = jnp.maximum(1.0 - jnp.abs(col - of), 0.0) * wl
+        acc = jnp.sum(
+            scratch_ref[:, :, :].astype(jnp.float32) * hat[:, :, None],
+            axis=1)                                     # [G, LANES] y-paired
+        wy = jnp.transpose(wy_ref[0, 0, pl.ds(g, 1), :], (1, 0))
+        yw = (1.0 - wy) + lane_hi * (2.0 * wy - 1.0)
+        tot = jnp.sum((acc * yw).reshape(GO, FOLD, LANES), axis=1)
+        mixed = tot + pltpu.roll(tot, shift=64, axis=1)  # dup lane halves
+        out_ref[0, 0, pl.ds(base, GO), :] = mixed.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+
+
+def build_fold(levels, S, NCH, CHUNK):
+    NG = CHUNK // GROUP
+    R_cat = sum(R for (R, _, _, _) in levels)
+    Wp_max = max(Wp for (_, Wp, _, _) in levels)
+
+    def call(packed, of, wy, wl, val_cat):
+        return pl.pallas_call(
+            kernel_fold,
+            grid=(S, NCH),
+            in_specs=[
+                pl.BlockSpec((1, 1, NG, GROUP), lambda s, ch: (s, ch, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ] + [
+                pl.BlockSpec((1, 1, NG, GROUP), lambda s, ch: (s, ch, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ] + [
+                pl.BlockSpec((1, R_cat, Wp_max, LANES),
+                             lambda s, ch: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, CHUNK // FOLD, LANES),
+                                   lambda s, ch: (s, ch, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, NCH, CHUNK // FOLD, LANES),
+                                           jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((GROUP, WIN, LANES), jnp.bfloat16)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+        )(packed, of, wy, wl, val_cat)
+
+    return jax.jit(call)
+
+
+def run_fold(name, levels, S, K, rng):
+    """K here = model points per slab; kernel points = K * L interleaved.
+    For a fair A/B vs `split`, L must equal FOLD (the image case)."""
+    L = len(levels)
+    assert L == FOLD
+    CHUNK = 4864
+    KK = K * L
+    NCH = -(-KK // CHUNK)
+    KKPAD = NCH * CHUNK
+    Wp_max = max(Wp for (_, Wp, _, _) in levels)
+    R_cat = sum(R for (R, _, _, _) in levels)
+
+    # per-level data at K model points, then interleave l-fastest and pad
+    packed = np.zeros((S, K, L), np.int32)
+    of = np.zeros((S, K, L), np.float32)
+    wyv = np.zeros((S, K, L), np.float32)
+    wlv = np.zeros((S, K, L), np.float32)
+    val_cat = np.zeros((S, R_cat, Wp_max, LANES), np.float32)
+    checks = []
+    roff = 0
+    for l, (R, Wp, W, H) in enumerate(levels):
+        row = rng.integers(0, R, (S, K), dtype=np.int32)
+        x0 = rng.integers(0, W, (S, K), dtype=np.int32)
+        xb = (x0 // 8) * 8
+        o = (x0 - xb) + rng.uniform(0, 1, (S, K)).astype(np.float32)
+        wy = rng.uniform(0, 1, (S, K)).astype(np.float32)
+        wl = rng.uniform(0, 1, (S, K)).astype(np.float32)
+        packed[:, :, l] = ((row + roff) << 16) | xb
+        of[:, :, l] = o
+        wyv[:, :, l] = wy
+        wlv[:, :, l] = wl
+        v = rng.standard_normal((S, R, Wp, LANES)).astype(np.float32)
+        val_cat[:, roff: roff + R, :Wp] = v
+        checks.append((row, x0, o, wy, wl, v))
+        roff += R
+
+    def prep(a):
+        flat = a.reshape(S, KK)
+        out = np.zeros((S, KKPAD), a.dtype)
+        out[:, :KK] = flat
+        return out.reshape(S, NCH, CHUNK // GROUP, GROUP)
+
+    args = (jnp.asarray(prep(packed)), jnp.asarray(prep(of)),
+            jnp.asarray(prep(wyv)), jnp.asarray(prep(wlv)),
+            jnp.asarray(val_cat, jnp.bfloat16))
+    fn = build_fold(levels, S, NCH, CHUNK)
+
+    def runner(n):
+        t0 = time.perf_counter()
+        out, vv = None, args[4]
+        for _ in range(n):
+            out = fn(args[0], args[1], args[2], args[3], vv)
+            vv = vv + (out[0, 0, 0, 0] * jnp.asarray(0, vv.dtype))
+        float(jax.device_get(out[0, 0, 0, 0].astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    runner(2)
+    t1, t2 = runner(6), runner(18)
+    per = (t2 - t1) / 12
+    out = np.asarray(fn(*args), np.float32).reshape(S, KKPAD // FOLD, LANES)
+    s, k = 3, 777
+    ref = ref_point(checks, s, k)
+    got = out[s, k, :64]
+    err = np.max(np.abs(got - ref)) / (np.abs(ref).max() + 1e-6)
+    # dup-lane property
+    dup = np.max(np.abs(out[s, k, :64] - out[s, k, 64:]))
+    print(f"{name} fold: {per * 1e3:.3f} ms/call "
+          f"({per / (S * K * L) * 1e9:.2f} ns/pt)  rel_err={err:.4f} "
+          f"dup_err={dup:.4f}")
 
 
 if __name__ == "__main__":

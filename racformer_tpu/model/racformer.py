@@ -82,6 +82,23 @@ class RaCFormer(nn.Module):
     # path computes BN stats over all T frames instead — the documented
     # deviation this flag exists to bound (docs/PARITY.md).
     bn_frame0_only: bool = False
+    # fused-epilogue eval gathers (round 5): ONE kernel call per sampling
+    # site per decoder iteration applies the bilinear lerp, the level /
+    # attention weights, the y-mix and the fold-sum in-kernel — the image
+    # pyramid is stored level-CONCATENATED and the per-level calls plus the
+    # XLA weighted-sum epilogues disappear (the round-5 decode profile's
+    # 11.7 ms image epilogue + ~16 ms of BEV relayout/slice/sum per step).
+    # None = auto: explicit config > RACFORMER_FUSED_GATHER env > ON for
+    # TPU. Forced OFF in train mode (the fused kernel has no custom VJP;
+    # training keeps the per-level machinery + Pallas scatter backward).
+    fused_gather: Any = None
+
+    def _fused(self) -> bool:
+        from ..ops.bilinear import resolve_pallas
+
+        if self.train_mode:
+            return False
+        return resolve_pallas("RACFORMER_FUSED_GATHER", self.fused_gather)
 
     def setup(self):
         self.img_backbone = ResNet50(dtype=self.trunk_dtype, name="img_backbone")
@@ -130,6 +147,7 @@ class RaCFormer(nn.Module):
             if "d_region_list" in over:
                 over["d_region_list"] = tuple(over["d_region_list"])
             decoder_cfg.update(over)
+        decoder_cfg["fused_gather"] = self._fused()
         self.pts_bbox_head = RaCFormerHead(
             num_classes=self.num_classes,
             num_query=self.num_query,
@@ -172,6 +190,19 @@ class RaCFormer(nn.Module):
             assert f.shape[3:5] == (H // (4 << l), W // (4 << l)), (
                 f.shape, l, (H, W))
         fpn = [fuse_rows(pad_for_sampling(f, align=True)) for f in fpn]
+        if self._fused():
+            # fused-epilogue eval form: ONE level-concatenated map per
+            # (frame, group) — level l of camera n at rows
+            # n * rcat + roffs[l] (geometry mirrored by
+            # `ImageRadialSampling`/`msmv_sample_fold`). Built here so the
+            # streaming cache stores it and each step pays only the newest
+            # frame's concat; the narrow levels' W-padding to the level-0
+            # width costs ~40% more cache HBM, traded for one kernel call
+            # per iteration instead of four + the weighted-sum epilogue.
+            wmax = max(f.shape[-2] for f in fpn)
+            fpn = [jnp.pad(f, [(0, 0)] * (f.ndim - 2)
+                           + [(0, wmax - f.shape[-2]), (0, 0)]) for f in fpn]
+            fpn = [jnp.concatenate(fpn, axis=-3)]  # rows per camera
         lss_feat = self.img_lss_neck([c4, c5])  # [SN, H/16, W/16, C]
         hf, wf = lss_feat.shape[1], lss_feat.shape[2]
         lss_feat = lss_feat.astype(jnp.float32).reshape(S, N, hf, wf, self.embed_dims)

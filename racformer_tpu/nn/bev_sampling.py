@@ -94,6 +94,7 @@ class BEVCrossFrameAttention(nn.Module):
     num_frames: int = 8
     dropout: float = 0.1
     bev_pallas: Any = None  # None = auto (ops.deform_attn.resolve_bev_pallas)
+    bev_fused: int = 0  # fold size for the fused-epilogue eval kernel
     spatial_shape: tuple | None = None  # true (H, W); required: value is W-aligned
     dtype: Any = jnp.float32
 
@@ -118,7 +119,7 @@ class BEVCrossFrameAttention(nn.Module):
 
         out = deform_attn_single_level(
             value, None, w, pre_fused=True, loc_xy=(lx, ly),
-            pallas=self.bev_pallas,
+            pallas=self.bev_pallas, fold_points=self.bev_fused,
             true_hw=self.spatial_shape)  # [B*T, Q, C]
         out = out.reshape(B, T, Q, C)
 
@@ -140,6 +141,7 @@ class BEVSampling(nn.Module):
     pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     spatial_shape: tuple = (128, 128)
     bev_pallas: Any = None
+    bev_fused: int = 0  # fold size for the fused-epilogue eval kernel
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -215,6 +217,7 @@ class BEVSampling(nn.Module):
             self.num_heads,
             self.num_frames,
             bev_pallas=self.bev_pallas,
+            bev_fused=self.bev_fused,
             spatial_shape=self.spatial_shape,
             dtype=self.dtype,
             name="attention",

@@ -87,6 +87,7 @@ class RaCFormerDecoderLayer(nn.Module):
     train_mode: bool = False
     bev_pallas: Any = None  # None = auto (ops.deform_attn.resolve_bev_pallas)
     img_pallas: Any = None  # None = auto (ops.msmv.resolve_img_pallas)
+    fused_gather: bool = False  # fused-epilogue eval kernels (round 5)
     dtype: Any = jnp.float32
 
     def refine_bbox(self, bbox_proposal, bbox_delta):
@@ -114,10 +115,11 @@ class RaCFormerDecoderLayer(nn.Module):
         )(query_bbox, query_feat, attn_mask, train=train)
         query_feat = nn.LayerNorm(dtype=self.dtype, name="norm1")(q)
 
+        bev_fold = self.num_points_bev if self.fused_gather else 0
         q_radar = BEVSampling(
             self.embed_dims, self.num_frames, 4, self.num_points_bev,
             self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
-            bev_pallas=self.bev_pallas, dtype=self.dtype,
+            bev_pallas=self.bev_pallas, bev_fused=bev_fold, dtype=self.dtype,
             name="sampling_radar_bev",
         )(query_bbox, query_feat, radar_bev, time_diff, d_region, train=train)
         q_radar = nn.LayerNorm(dtype=self.dtype, name="norm_radar_bev")(q_radar)
@@ -125,7 +127,7 @@ class RaCFormerDecoderLayer(nn.Module):
         q_lss = BEVSampling(
             self.embed_dims, self.num_frames, 4, self.num_points_bev,
             self.bev_depth_num, self.pc_range, self.bev_spatial_shape,
-            bev_pallas=self.bev_pallas, dtype=self.dtype,
+            bev_pallas=self.bev_pallas, bev_fused=bev_fold, dtype=self.dtype,
             name="sampling_lss_bev",
         )(query_bbox, query_feat, lss_bev, time_diff, d_region, train=train)
         q_lss = nn.LayerNorm(dtype=self.dtype, name="norm_lss_bev")(q_lss)
@@ -133,9 +135,19 @@ class RaCFormerDecoderLayer(nn.Module):
         sampled = ImageRadialSampling(
             self.embed_dims, self.num_frames, 4, self.num_points,
             self.num_levels, self.img_depth_num, self.pc_range,
-            img_pallas=self.img_pallas, dtype=self.dtype, name="sampling",
+            img_pallas=self.img_pallas, fused_cat=self.fused_gather,
+            dtype=self.dtype, name="sampling",
         )(query_bbox, query_feat, mlvl_feats, lidar2img, time_diff,
           self.image_hw, d_region, pre_fused=True)
+        # remat boundary tags (see RaCFormerDecoder): policy "save_sampled"
+        # keeps these three sampling outputs across the scan so the decoder
+        # backward recomputes only the mixing/FFN/head region — a two-region
+        # remat split at the sampling|mixing boundary
+        from jax.ad_checkpoint import checkpoint_name
+
+        sampled = checkpoint_name(sampled, "sampled_img")
+        q_radar = checkpoint_name(q_radar, "sampled_bev")
+        q_lss = checkpoint_name(q_lss, "sampled_bev")
 
         mixed = AdaptiveMixing(
             in_points=self.num_points * self.num_frames * self.img_depth_num,
@@ -246,6 +258,15 @@ class RaCFormerDecoder(nn.Module):
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            # two-region split at the sampling|mixing boundary: the backward
+            # recomputes only mixing/FFN/head, not the Pallas gathers (their
+            # saved size is ~130 MB/layer at flagship shapes vs the ~24 GB
+            # full-intermediates set) — VERDICT r4 item 3
+            "save_sampled": jax.checkpoint_policies.save_only_these_names(
+                "sampled_img", "sampled_bev"),
+            # cheaper variant: save only the BEV sampling outputs (tiny)
+            "save_bev": jax.checkpoint_policies.save_only_these_names(
+                "sampled_bev"),
         }
         if pol_name not in policies:
             raise ValueError(

@@ -29,6 +29,7 @@ class ImageRadialSampling(nn.Module):
     depth_num: int = 3
     pc_range: tuple = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     img_pallas: Any = None  # None = auto (ops.msmv.resolve_img_pallas)
+    fused_cat: bool = False  # mlvl_feats = [level-concatenated fused map]
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,8 +117,17 @@ class ImageRadialSampling(nn.Module):
         if pre_fused:
             true_hws = [(image_hw[0] // (4 << l), image_hw[1] // (4 << l))
                         for l in range(L)]
+        cat_geom = None
+        if self.fused_cat:
+            # geometry of the level-concatenated map (RaCFormer._trunk):
+            # level l of camera n starts at row n * rcat + roffs[l]
+            from ..ops.bilinear import PAD
+
+            r0s = [h + 2 * PAD - 1 for (h, _) in true_hws]
+            roffs = [sum(r0s[:l]) for l in range(L)]
+            cat_geom = (true_hws, roffs, sum(r0s))
         return sample_image_features(
             sample_points, mlvl_feats, w, lidar2img, image_hw[0], image_hw[1],
             pre_padded=pre_padded, pre_fused=pre_fused, pallas=self.img_pallas,
-            true_hws=true_hws,
+            true_hws=true_hws, cat_geom=cat_geom,
         )

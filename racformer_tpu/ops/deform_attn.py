@@ -48,6 +48,7 @@ def deform_attn_single_level(
     pre_fused: bool = False,
     pallas: bool | None = None,
     true_hw: tuple | None = None,
+    fold_points: int = 0,
 ) -> jax.Array:
     """Args:
       value: [S, H, W, M, c] — S batch slabs (B * num_bev_queue), M heads,
@@ -98,6 +99,37 @@ def deform_attn_single_level(
 
     x_pix = x_norm * W - 0.5  # align_corners=False mapping
     y_pix = y_norm * H - 0.5
+
+    if fold_points:
+        # fused-epilogue eval path (round 5): ONE kernel call applies the
+        # x/y lerp, the attention weight, and sums each `fold_points`
+        # consecutive points (the caller orders points so a fold group
+        # shares one (q, head) output) — the per-point y-paired output,
+        # its relayout/slice copies, and the weighted-sum fusion all
+        # disappear. Eval-only (no custom VJP).
+        from .bilinear import PAD, resolve_batch_local
+        from .gather_kernel import patch_sample_fold
+
+        assert pre_fused and P % fold_points == 0, (P, fold_points)
+        R0 = val_h.shape[2]
+        x0 = jnp.floor(x_pix)
+        y0 = jnp.floor(y_pix)
+        wx = (x_pix - x0).astype(jnp.float32)
+        wy = (y_pix - y0).astype(jnp.float32)
+        x0p = jnp.clip(x0, -PAD, W).astype(jnp.int32) + PAD
+        y0p = jnp.clip(y0, -PAD, H).astype(jnp.int32) + PAD
+        head = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, None, :, None], (1, Q, M, P))
+        row = head * R0 + y0p
+        fused_flat = val_h.reshape(S, M * R0, val_h.shape[3], c2)
+        out = patch_sample_fold(
+            fused_flat, jnp.broadcast_to(row, x0p.shape), x0p, wx, wy,
+            weights, fold_points,
+            batch_local=resolve_batch_local(None),
+        )  # [S, Q*M*(P//fold), c]
+        out = out.reshape(S, Q, M, P // fold_points, c)
+        return jnp.sum(out.astype(jnp.float32), axis=3).astype(
+            out.dtype).reshape(S, Q, M * c)
 
     # fold (slab, head) into one gather index: a single un-batched gather
     # (vmap adds operand batching dims that worsen XLA's layout choices)

@@ -36,15 +36,16 @@ GROUP = 128  # points per reduction row; scratch = [WIN, GROUP*128]; dynamic
 LANES = 128  # y-fused channels (2C); all production call sites have C=64
 
 
-def _chunk_layout(K: int, max_chunk: int = 4864):
-    """(chunk, nch, kpad) with chunk a multiple of this kernel's GROUP.
+def _chunk_layout(K: int, max_chunk: int = 4864, group: int = GROUP):
+    """(chunk, nch, kpad) with chunk a multiple of the kernel's reduction
+    group.
 
     Chunks are BALANCED: nch is fixed by max_chunk, then the chunk size
     shrinks to just cover K — e.g. K=10800 (the image sampler's per-slab
     point count) gets 3x3712 (3% padding) instead of 3x4864 (35% padded
     points, each a full window fetch + reduce of garbage)."""
     nch = max(1, int(np.ceil(K / max_chunk)))
-    chunk = int(np.ceil(K / nch / GROUP)) * GROUP
+    chunk = int(np.ceil(K / nch / group)) * group
     return chunk, nch, chunk * nch
 
 
@@ -180,6 +181,171 @@ def patch_corners_pallas(fused, view, y0p, x0p, batch_local=False):
     res = gather(packed, of, val, chunk, interpret)
     res = res.reshape(S, nch * chunk, 2 * C2)[:, :K]
     return res.reshape(*view.shape, 2 * C2)
+
+
+def _make_fold_kernel(fold: int, group: int = GROUP):
+    """Fused-epilogue gather: stage + x-lerp like `_kernel`, then apply the
+    per-point y-lerp and scalar weight (level/attention weight) and sum each
+    `fold` consecutive points (level-interleaved image points /
+    p-interleaved BEV attention points) — all via two small MXU matmuls
+    against the constant fold mask (see in-body comment). Replaces the
+    per-level kernel calls + the XLA y-mix/weighted-sum epilogues — the
+    round-5 decode profile's 11.7 ms image epilogue fusion and the BEV
+    relayout+slice+sum chains (~16 ms/step).
+
+    Reference semantics being fused: the CUDA sampler's per-level weighted
+    accumulation (`models/csrc/msmv_sampling/msmv_sampling_forward.cu:75-164`)
+    and `ms_deform_attn`'s attention-weighted point sum."""
+
+    def kernel(packed_ref, of_ref, a_ref, b_ref, val_ref, out_ref,
+               scratch_ref):
+        ng = packed_ref.shape[2]
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (group, WIN), 1).astype(jnp.float32)
+        go = group // fold
+        io = jax.lax.broadcasted_iota(jnp.int32, (go, group), 0)
+        jo = jax.lax.broadcasted_iota(jnp.int32, (go, group), 1)
+        fmask = (jo // fold == io).astype(jnp.float32)       # [GO, G] 0/1
+
+        def body(g, _):
+            base = pl.multiple_of(g * go, go)
+            for j in range(group):
+                v = packed_ref[0, 0, g, j]
+                row = jax.lax.shift_right_logical(v, 16)
+                xb = pl.multiple_of(jax.lax.bitwise_and(v, 0xFFFF), 8)
+                scratch_ref[j, :, :] = val_ref[0, row, pl.ds(xb, WIN), :]
+            of = jnp.transpose(of_ref[0, 0, pl.ds(g, 1), :], (1, 0))
+            hat = jnp.maximum(1.0 - jnp.abs(col - of), 0.0)
+            # bulk reduce in the operand dtype exactly like `_kernel`
+            # (promoting the [G, WIN, LANES] scratch to f32 cost +4.6 ns/pt)
+            acc = jnp.sum(
+                scratch_ref[:, :, :] * hat[:, :, None].astype(
+                    scratch_ref.dtype), axis=1)          # [G, LANES] y-pair
+            # y-mix + per-point weight + fold-sum as TWO small MXU matmuls
+            # built from LANE vectors (a = (1-wy)*wl, b = wy*wl):
+            #   out[i, c<64] = sum_{j in fold i} a_j acc[j,c] + b_j acc[j,c+64]
+            # The v8 sweep (GROUP=256): 7.66 ns/pt vs 11.44 for the
+            # transpose+reshape-sum form (3 lane->sublane transposes + a
+            # strided sublane reduction), 8.83 at GROUP=128, and 7.56/7.18
+            # for the bare `_kernel` at GROUP=128/256 — i.e. the fused
+            # epilogue is cheaper than the XLA epilogues it replaces AND
+            # cheaper than the per-level kernel it extends.
+            # Lanes >= 64 of `mixed` are garbage (B picks up the rolled-in
+            # top half); consumers read lanes [:64].
+            arow = a_ref[0, 0, pl.ds(g, 1), :]               # [1, G] f32
+            brow = b_ref[0, 0, pl.ds(g, 1), :]
+            accf = acc.astype(jnp.float32)
+            mixed = (
+                jax.lax.dot(fmask * arow, accf,
+                            preferred_element_type=jnp.float32)
+                + jax.lax.dot(fmask * brow,
+                              pltpu.roll(accf, shift=LANES // 2, axis=1),
+                              preferred_element_type=jnp.float32))
+            out_ref[0, 0, pl.ds(base, go), :] = mixed.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, ng, body, 0)
+
+    return kernel
+
+
+def _gather_fold_pallas(
+    packed: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    of: jax.Array,
+    val: jax.Array,
+    chunk: int,
+    fold: int,
+    group: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused-epilogue gather over interleaved points.
+
+    packed/of: as `_gather_pallas` ([S, NCH, NG, GROUP]); a/b: premixed
+    per-point weights a = (1-wy)*wl, b = wy*wl (wy the y lerp weight, wl
+    the level-softmax / deform-attention weight). Returns
+    [S, NCH, chunk // fold, LANES]; lanes [:64] hold the y-mixed
+    fold-summed value, lanes [64:] are garbage (see kernel comment)."""
+    S, NCH, NG = packed.shape[0], packed.shape[1], packed.shape[2]
+    R, WPAD = val.shape[1], val.shape[2]
+    return pl.pallas_call(
+        _make_fold_kernel(fold, group),
+        grid=(S, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, NG, group), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NG, group), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NG, group), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NG, group), lambda s, ch: (s, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, WPAD, LANES), lambda s, ch: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, chunk // fold, LANES),
+                               lambda s, ch: (s, ch, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, NCH, chunk // fold, LANES),
+                                       val.dtype),
+        scratch_shapes=[pltpu.VMEM((group, WIN, LANES), val.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(packed, of, a, b, val)
+
+
+gather_patch_fold = functools.partial(
+    jax.jit, static_argnums=(5, 6, 7, 8))(_gather_fold_pallas)
+
+gather_patch_fold_sharded = slab_partitioned(
+    _gather_fold_pallas, static_argnums=(5, 6, 7, 8),
+    sharding_rule="s n g p, s n g p, s n g p, s n g p, s r w l -> s n c m",
+    need_replication_factors=("n", "g", "p", "r", "w", "l", "c", "m"),
+)
+
+
+def patch_sample_fold(fused, row, x0p, wx, wy, wl, fold,
+                      batch_local=False):
+    """Fused-epilogue sample: per-point absolute fused-map `row` (caller
+    folds camera/head/level offsets), 8-unaligned x0p, lerp weights and the
+    scalar weight `wl`; every `fold` consecutive points are summed after
+    weighting/y-mix. fused: [S, R, Wp, 2C]. Returns [S, K // fold, C] f32-
+    promoted... (val dtype), lanes already y-mixed and fold-summed."""
+    S, R, Wp, C2 = fused.shape
+    assert C2 == LANES, C2
+    assert Wp % 8 == 0, Wp
+    K = int(np.prod(row.shape[1:]))
+    assert K % fold == 0, (K, fold)
+    # GROUP=256 for the fold form: halves the per-group overheads
+    # (of-transpose, loop bookkeeping, store count) — 7.66 ns/pt vs 8.83 at
+    # 128 (docs/experiments/gather_v8_fold_variants.py)
+    group = 256
+    chunk, nch, kpad = _chunk_layout(K, group=group)
+    assert chunk % fold == 0, (chunk, fold)
+
+    def prep(a, dtype=None):
+        a = a.reshape(S, K)
+        if dtype is not None:
+            a = a.astype(dtype)
+        return pad_chunks(a, kpad).reshape(S, nch, chunk // group, group)
+
+    xb = (x0p.reshape(S, K) // 8) * 8
+    o = (x0p.reshape(S, K) - xb).astype(jnp.float32)
+    packed = prep((row.reshape(S, K) << 16) | xb)
+    of = prep(o + wx.reshape(S, K).astype(jnp.float32))
+    wyf = wy.reshape(S, K).astype(jnp.float32)
+    wlf = wl.reshape(S, K).astype(jnp.float32)
+    a_p = prep((1.0 - wyf) * wlf)
+    b_p = prep(wyf * wlf)
+
+    interpret = jax.default_backend() == "cpu"
+    gather = (gather_patch_fold_sharded if batch_local
+              else gather_patch_fold)
+    res = gather(packed, a_p, b_p, of, fused, chunk, fold, group, interpret)
+    res = res.reshape(S, nch * chunk // fold, LANES)[:, : K // fold]
+    return res[..., : LANES // 2]
 
 
 def _gather_pallas(

@@ -122,6 +122,66 @@ def msmv_sample_xyv(
     return acc
 
 
+def msmv_sample_fold(
+    feat_cat: jax.Array,
+    x_norm: jax.Array,
+    y_norm: jax.Array,
+    view: jax.Array,
+    weights: jax.Array,
+    true_hws: Sequence[tuple],
+    roffs: Sequence[int],
+    rcat: int,
+    batch_local: bool | None = None,
+) -> jax.Array:
+    """Fused-epilogue MSMV sample over a level-CONCATENATED fused map.
+
+    feat_cat: [S, N * rcat, Wmax, 2C] — the per-level y-fused W-aligned maps
+    row-concatenated per camera (level l of camera n starts at row
+    n * rcat + roffs[l]; built once per frame by `RaCFormer._trunk` when the
+    fused gather is enabled). x_norm/y_norm/view: [S, Q, P]; weights:
+    [S, Q, P, L] per-level softmax weights.
+
+    One kernel call per decoder iteration replaces the L per-level calls
+    plus the XLA y-mix + weighted-sum epilogue (the round-5 decode profile's
+    11.7 ms/step image epilogue fusion): points are level-INTERLEAVED
+    (l fastest) and the kernel folds each L consecutive points after
+    weighting — see `gather_kernel.patch_sample_fold`. Eval-only (no custom
+    VJP); the training path keeps the per-level `msmv_sample_xyv` machinery.
+
+    Returns [S, Q, P, C].
+    """
+    from .bilinear import PAD, resolve_batch_local
+    from .gather_kernel import patch_sample_fold
+
+    if feat_cat.ndim == 5:  # [S, N, rcat, Wmax, 2C] -> fold cameras
+        feat_cat = feat_cat.reshape(
+            feat_cat.shape[0], -1, *feat_cat.shape[3:])
+    L = len(true_hws)
+    S, Q, P = x_norm.shape
+    rows, x0s, wxs, wys = [], [], [], []
+    for l, (H, W) in enumerate(true_hws):
+        x_pix = x_norm * (W - 1)  # align_corners=True mapping
+        y_pix = y_norm * (H - 1)
+        x0 = jnp.floor(x_pix)
+        y0 = jnp.floor(y_pix)
+        wxs.append((x_pix - x0).astype(jnp.float32))
+        wys.append((y_pix - y0).astype(jnp.float32))
+        x0p = jnp.clip(x0, -PAD, W).astype(jnp.int32) + PAD
+        y0p = jnp.clip(y0, -PAD, H).astype(jnp.int32) + PAD
+        rows.append(view * rcat + roffs[l] + y0p)
+        x0s.append(x0p)
+
+    def inter(parts):  # L x [S, Q, P] -> [S, Q*P*L] (l fastest)
+        return jnp.stack(parts, axis=-1).reshape(S, Q * P * L)
+
+    out = patch_sample_fold(
+        feat_cat, inter(rows), inter(x0s), inter(wxs), inter(wys),
+        weights.reshape(S, Q * P, L).reshape(S, Q * P * L), L,
+        batch_local=resolve_batch_local(batch_local),
+    )  # [S, Q*P, C]
+    return out.reshape(S, Q, P, out.shape[-1])
+
+
 def msmv_sample_v2(
     mlvl_feats: Sequence[jax.Array],
     loc: jax.Array,

@@ -100,6 +100,7 @@ def sample_image_features(
     pre_fused: bool = False,
     pallas: bool | None = None,
     true_hws: Sequence[tuple] | None = None,
+    cat_geom: tuple | None = None,
 ) -> jax.Array:
     """Full `sampling_4d` equivalent.
 
@@ -114,7 +115,8 @@ def sample_image_features(
     Returns [B, Q, G, T*P, C].
     """
     B, Q, T, G, P, _ = sample_points.shape
-    L = len(mlvl_feats)
+    L = scale_weights.shape[-1]  # levels (mlvl_feats is a singleton
+    # level-concatenated map on the fused path)
     C = mlvl_feats[0].shape[-1] // (2 if pre_fused else 1)
 
     pts = sample_points.transpose(0, 2, 1, 3, 4, 5).reshape(B, T, Q, G * P, 3)
@@ -131,10 +133,20 @@ def sample_image_features(
     w = scale_weights.transpose(0, 2, 3, 1, 4, 5).reshape(B * G * T, Q, P, L)
 
     feats = [f.reshape(B * T * G, *f.shape[3:]) for f in mlvl_feats]
-    from .msmv import msmv_sample_xyv
+    if cat_geom is not None:
+        # fused-epilogue eval path: mlvl_feats is the singleton
+        # level-concatenated map (see RaCFormer._trunk / msmv_sample_fold)
+        from .msmv import msmv_sample_fold
 
-    out = msmv_sample_xyv(feats, to_slabs(lx), to_slabs(ly), to_slabs(lv),
-                          w, pre_padded=pre_padded, pre_fused=pre_fused,
-                          pallas=pallas, true_hws=true_hws)  # [B*T*G, Q, P, C]
+        hws, roffs, rcat = cat_geom
+        out = msmv_sample_fold(feats[0], to_slabs(lx), to_slabs(ly),
+                               to_slabs(lv), w, hws, roffs, rcat)
+    else:
+        from .msmv import msmv_sample_xyv
+
+        out = msmv_sample_xyv(
+            feats, to_slabs(lx), to_slabs(ly), to_slabs(lv),
+            w, pre_padded=pre_padded, pre_fused=pre_fused,
+            pallas=pallas, true_hws=true_hws)  # [B*T*G, Q, P, C]
     out = out.reshape(B, T, G, Q, P, C).transpose(0, 3, 2, 1, 4, 5)
     return out.reshape(B, Q, G, T * P, C)
