@@ -22,6 +22,7 @@ the production profile):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -320,8 +321,9 @@ def patch_sample_fold(fused, row, x0p, wx, wy, wl, fold,
     assert K % fold == 0, (K, fold)
     # GROUP=256 for the fold form: halves the per-group overheads
     # (of-transpose, loop bookkeeping, store count) — 7.66 ns/pt vs 8.83 at
-    # 128 (docs/experiments/gather_v8_fold_variants.py)
-    group = 256
+    # 128 (docs/experiments/gather_v8_fold_variants.py). Env override for
+    # same-process A/B of larger groups (see BASELINE.md round 5)
+    group = int(os.environ.get("RACFORMER_FOLD_GROUP", "256"))
     chunk, nch, kpad = _chunk_layout(K, group=group)
     assert chunk % fold == 0, (chunk, fold)
 
